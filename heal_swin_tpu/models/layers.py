@@ -1,0 +1,167 @@
+"""Shared Flax building blocks for the SWIN family models.
+
+TPU-first design notes (vs. the torch reference):
+- Inputs are channels-last; attention operates on (B, nW, ws, C) keeping batch a pure
+  leading dim so pjit batch sharding never crosses a window reshape.
+- Attention masks are derived in-graph from (nW, ws) integer group ids (compare +
+  select fuses into the logits add); the (nW, ws, ws) bias is never stored in HBM.
+- Softmax always runs in float32 regardless of compute dtype.
+- GELU is exact (erf), matching torch.nn.GELU.
+- LayerNorm uses eps 1e-5 (torch default) and computes in float32.
+
+Reference behavior: ``heal_swin/models_torch/swin_hp_transformer.py:21-191`` and
+``heal_swin/models_torch/swin_transformer.py:18-204``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+MASK_VALUE = -100.0
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def dense(features: int, use_bias: bool = True, dtype: Optional[Dtype] = None, name=None):
+    """nn.Dense with the reference init: trunc_normal(0.02) kernel, zero bias."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=trunc_normal_init,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch defaults (eps=1e-5), computed in float32."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="ln")(x)
+        return y.astype(self.dtype or x.dtype)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics: scale by 1/keep)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP with exact GELU (reference Mlp, swin_hp_transformer.py:21-44)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """Multi-head self attention within windows.
+
+    Input x: (B, nW, ws, C).  ``win_groups``: optional (nW, ws) int array of mask group
+    ids — attention between tokens of different groups gets a -100 additive logit, the
+    reference's soft masking (hp_shifting.py:10-28).  ``rel_pos_index``: optional
+    (ws, ws) table index for a learned relative position bias; ``rel_pos_table_size``
+    its table length; ``rel_pos_init_zero`` keeps the table at zeros init (a reference
+    quirk of the HP model, swin_hp_transformer.py:121) while the flat model uses
+    trunc_normal (swin_transformer.py:143).
+
+    Supports scaled-dot attention and SWIN-v2 cosine attention with learnable clamped
+    logit scale (swin_hp_transformer.py:84-87,142-147).
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_cos_attn: bool = False
+    rel_pos_index: Optional[np.ndarray] = None
+    rel_pos_table_size: int = 0
+    rel_pos_init_zero: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, win_groups=None, deterministic: bool = True):
+        B, nW, ws, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        assert h * hd == C, f"dim {C} not divisible by num_heads {h}"
+
+        qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, nW, ws, 3, h, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+        if self.use_cos_attn:
+            q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-12).astype(q.dtype)
+            k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-12).astype(k.dtype)
+            attn = jnp.einsum("bwihd,bwjhd->bwhij", q, k, preferred_element_type=jnp.float32)
+            logit_scale = self.param(
+                "logit_scale", lambda rng: jnp.log(10.0 * jnp.ones((h, 1, 1), jnp.float32))
+            )
+            logit_scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
+            attn = attn * logit_scale[None, None]
+        else:
+            scale = self.qk_scale if self.qk_scale is not None else hd**-0.5
+            attn = jnp.einsum("bwihd,bwjhd->bwhij", q * scale, k, preferred_element_type=jnp.float32)
+
+        if self.rel_pos_index is not None:
+            init = (
+                nn.initializers.zeros if self.rel_pos_init_zero else trunc_normal_init
+            )
+            table = self.param(
+                "relative_position_bias_table",
+                init,
+                (self.rel_pos_table_size, h),
+                jnp.float32,
+            )
+            idx = jnp.asarray(self.rel_pos_index)  # (ws, ws)
+            bias = table[idx]  # (ws, ws, h)
+            attn = attn + jnp.transpose(bias, (2, 0, 1))[None, None]
+
+        if win_groups is not None:
+            g = jnp.asarray(win_groups)  # (nW, ws)
+            mask = jnp.where(g[:, :, None] != g[:, None, :], MASK_VALUE, 0.0)
+            attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(self.dtype or x.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bwhij,bwjhd->bwihd", attn, v)
+        out = out.reshape(B, nW, ws, C)
+        out = dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out

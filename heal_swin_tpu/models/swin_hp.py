@@ -1,0 +1,446 @@
+"""HEAL-SWIN-UNet in Flax: SWIN-UNet over the spherical HEALPix grid in nested ordering.
+
+Tokens are nested-order HEALPix pixels treated as a flat 1-D sequence; windows are
+contiguous runs (reshape), patch merging/expanding rides the 4-children-per-parent
+nested hierarchy (reshape + dense), and shifted windows are host-precomputed roll /
+permutation constants with group-id attention masks.
+
+Architectural parity with reference ``heal_swin/models_torch/swin_hp_transformer.py``
+(config defaults :794-819, encoder :849-955, decoder :704-791); rebuilt TPU-first:
+channels-last, everything is a reshape/dense/einsum so XLA maps it onto the MXU, no
+data-dependent control flow, optional bf16 compute, per-block rematerialization.
+
+Inputs: (B, npix, f_in) channels-last.  Output: (B, npix, f_out).
+(The torch reference uses (B, f_in, npix); channels-last is the TPU-native layout.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from heal_swin_tpu.data.data_spec import DataSpec
+from heal_swin_tpu.models.layers import (
+    DropPath,
+    LayerNorm,
+    Mlp,
+    WindowAttention,
+    dense,
+    trunc_normal_init,
+)
+from heal_swin_tpu.ops.shifting import get_shift_spec
+from heal_swin_tpu.ops.windowing import get_nest_win_idcs
+
+Dtype = Any
+
+
+@dataclass
+class SwinHPTransformerConfig:
+    """Mirrors reference SwinHPTransformerConfig (swin_hp_transformer.py:794-819).
+
+    torch class references become strings: norm_layer="LayerNorm",
+    decoder_class="UnetDecoder".  ``dtype`` is a TPU extension: compute dtype
+    ("float32" | "bfloat16"); params are always float32.
+    """
+
+    patch_size: int = 4
+    window_size: int = 4
+    shift_size: int = 2
+    shift_strategy: str = "nest_roll"  # "nest_roll" | "nest_grid_shift" | "ring_shift"
+    rel_pos_bias: Optional[str] = None  # None | "flat"
+    embed_dim: int = 96
+    patch_embed_norm_layer: Optional[str] = None  # None | "LayerNorm"
+    depths: List[int] = field(default_factory=lambda: [2, 2, 2, 2])
+    num_heads: List[int] = field(default_factory=lambda: [3, 6, 12, 24])
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    use_cos_attn: bool = False
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    norm_layer: str = "LayerNorm"
+    use_v2_norm_placement: bool = False
+    ape: bool = False
+    patch_norm: bool = True
+    use_checkpoint: bool = False
+    dev_mode: bool = False
+    decoder_class: str = "UnetDecoder"
+    dtype: Optional[str] = None  # TPU extension: compute dtype
+
+    @property
+    def compute_dtype(self):
+        return {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+
+def _rel_pos_index_nested(window_size: int) -> np.ndarray:
+    """(ws, ws) relative-position table index in nested token order.
+
+    Builds the 2-D SWIN relative index on the sqrt(ws) x sqrt(ws) grid, then permutes
+    rows/cols from grid order into nested order via get_nest_win_idcs
+    (reference swin_hp_transformer.py:89-114).
+    """
+    side = int(round(np.sqrt(window_size)))
+    coords = np.stack(np.meshgrid(np.arange(side), np.arange(side), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += side - 1
+    rel[:, :, 1] += side - 1
+    rel[:, :, 0] *= 2 * side - 1
+    idx = rel.sum(-1)
+    nest_inv = np.argsort(get_nest_win_idcs(window_size).reshape(-1))
+    return idx[nest_inv][:, nest_inv]
+
+
+class SwinHPBlock(nn.Module):
+    """One SWIN transformer block on the nested pixel sequence
+    (reference SwinTransformerBlock, swin_hp_transformer.py:193-340)."""
+
+    dim: int
+    input_resolution: int  # token count at this stage
+    base_pix: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    shift_strategy: str
+    rel_pos_bias: Optional[str]
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    drop: float
+    attn_drop: float
+    drop_path: float
+    use_v2_norm_placement: bool
+    use_cos_attn: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, N, C = x.shape
+        ws = self.window_size
+        shift = self.shift_size
+        if N <= ws:  # no partitioning when window covers the whole sequence
+            ws = N
+            shift = 0
+
+        spec = get_shift_spec(self.shift_strategy, N, self.base_pix, ws, shift)
+
+        shortcut = x
+        if not self.use_v2_norm_placement:
+            x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        # shift (roll or precomputed permutation gather)
+        if spec.kind == "roll":
+            x = jnp.roll(x, -spec.roll_amount, axis=1)
+        elif spec.kind == "perm":
+            x = jnp.take(x, jnp.asarray(spec.perm), axis=1)
+
+        # windows as a tensor dim: (B, nW, ws, C) — pure reshape in nested order
+        x = x.reshape(B, N // ws, ws, C)
+
+        rel_idx = _rel_pos_index_nested(ws) if self.rel_pos_bias == "flat" else None
+        side = int(round(np.sqrt(ws)))
+        x = WindowAttention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            use_cos_attn=self.use_cos_attn,
+            rel_pos_index=rel_idx,
+            rel_pos_table_size=(2 * side - 1) ** 2,
+            rel_pos_init_zero=True,  # reference quirk: HP rel-pos table stays zeros-init
+            dtype=self.dtype,
+            name="attn",
+        )(x, win_groups=spec.win_groups, deterministic=deterministic)
+
+        x = x.reshape(B, N, C)
+
+        # reverse shift
+        if spec.kind == "roll":
+            x = jnp.roll(x, spec.roll_amount, axis=1)
+        elif spec.kind == "perm":
+            x = jnp.take(x, jnp.asarray(spec.inv_perm), axis=1)
+
+        mlp = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )
+        dp = DropPath(self.drop_path, name="drop_path")
+        if self.use_v2_norm_placement:
+            x = shortcut + dp(LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic)
+            x = x + dp(
+                LayerNorm(dtype=self.dtype, name="norm2")(mlp(x, deterministic)), deterministic
+            )
+        else:
+            x = shortcut + dp(x, deterministic)
+            x = x + dp(
+                mlp(LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic), deterministic
+            )
+        return x
+
+
+class PatchMerging(nn.Module):
+    """4 nested children -> parent: reshape (B, N/4, 4C) + LN + Dense(4C -> 2C).
+
+    Identical math to the reference's strided-slice concat (swin_hp_transformer.py:378-395)
+    because nested children are sequence-contiguous — but on TPU it is a free reshape.
+    """
+
+    dim: int
+    dim_scale: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        assert N % 4 == 0, f"sequence length {N} not divisible by 4"
+        x = x.reshape(B, N // 4, 4 * C)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = dense(self.dim_scale * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class PatchExpand(nn.Module):
+    """Parent -> 4 nested children: Dense(C -> scale*C) + reshape (B, 4N, scale*C/4) + LN
+    (reference swin_hp_transformer.py:407-430)."""
+
+    dim: int
+    dim_scale: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.dim_scale != 1:
+            x = dense(self.dim_scale * self.dim, use_bias=False, dtype=self.dtype, name="expand")(x)
+        B, N, C = x.shape
+        x = x.reshape(B, N * 4, C // 4)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class FinalPatchExpand_X4(nn.Module):
+    """Token -> patch_size pixels: Dense(C -> p*C) + reshape (B, N*p, C) + LN
+    (reference swin_hp_transformer.py:433-452)."""
+
+    patch_size: int
+    dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = dense(self.patch_size * self.dim, use_bias=False, dtype=self.dtype, name="expand")(x)
+        B, N, C = x.shape
+        x = x.reshape(B, N * self.patch_size, C // self.patch_size)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Pixel sequence -> patch tokens.  Conv1d(k=s=p) == reshape (B, N/p, p*f_in) + Dense
+    on TPU (reference swin_hp_transformer.py:656-694)."""
+
+    patch_size: int
+    embed_dim: int
+    use_norm: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, F = x.shape
+        assert self.patch_size % 4 == 0, "required for valid nside in deeper layers"
+        assert N % self.patch_size == 0
+        x = x.reshape(B, N // self.patch_size, self.patch_size * F)
+        x = dense(self.embed_dim, dtype=self.dtype, name="proj")(x)
+        if self.use_norm:
+            x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+def _make_block(cfg: SwinHPTransformerConfig, base_pix, dim, input_resolution, num_heads,
+                shift_size, drop_path, name):
+    block_cls = nn.remat(SwinHPBlock, static_argnums=(2,)) if cfg.use_checkpoint else SwinHPBlock
+    return block_cls(
+        dim=dim,
+        input_resolution=input_resolution,
+        base_pix=base_pix,
+        num_heads=num_heads,
+        window_size=cfg.window_size,
+        shift_size=shift_size,
+        shift_strategy=cfg.shift_strategy,
+        rel_pos_bias=cfg.rel_pos_bias,
+        mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=cfg.qkv_bias,
+        qk_scale=cfg.qk_scale,
+        drop=cfg.drop_rate,
+        attn_drop=cfg.attn_drop_rate,
+        drop_path=drop_path,
+        use_v2_norm_placement=cfg.use_v2_norm_placement,
+        use_cos_attn=cfg.use_cos_attn,
+        dtype=cfg.compute_dtype,
+        name=name,
+    )
+
+
+class BasicLayer(nn.Module):
+    """Encoder stage: depth blocks (alternating shift 0 / shift_size) + optional merge
+    (reference BasicLayer, swin_hp_transformer.py:455-558)."""
+
+    config: SwinHPTransformerConfig
+    base_pix: int
+    dim: int
+    input_resolution: int
+    depth: int
+    num_heads: int
+    drop_path: List[float]
+    downsample: bool
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        for i in range(self.depth):
+            blk = _make_block(
+                cfg, self.base_pix, self.dim, self.input_resolution, self.num_heads,
+                0 if i % 2 == 0 else cfg.shift_size, self.drop_path[i], name=f"block{i}",
+            )
+            x = blk(x, deterministic)
+        if self.downsample:
+            x = PatchMerging(dim=self.dim, dtype=cfg.compute_dtype, name="downsample")(x)
+        return x
+
+
+class BasicLayerUp(nn.Module):
+    """Decoder stage: depth blocks + optional expand
+    (reference BasicLayer_up, swin_hp_transformer.py:561-653)."""
+
+    config: SwinHPTransformerConfig
+    base_pix: int
+    dim: int
+    input_resolution: int
+    depth: int
+    num_heads: int
+    drop_path: List[float]
+    upsample: bool
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        for i in range(self.depth):
+            blk = _make_block(
+                cfg, self.base_pix, self.dim, self.input_resolution, self.num_heads,
+                0 if i % 2 == 0 else cfg.shift_size, self.drop_path[i], name=f"block{i}",
+            )
+            x = blk(x, deterministic)
+        if self.upsample:
+            x = PatchExpand(dim=self.dim, dim_scale=2, dtype=cfg.compute_dtype, name="upsample")(x)
+        return x
+
+
+class UnetDecoder(nn.Module):
+    """Mirror decoder with skip concat + concat_back_dim linears, final LN ->
+    FinalPatchExpand_X4 -> Dense(f_out) (reference UnetDecoder, swin_hp_transformer.py:704-791)."""
+
+    config: SwinHPTransformerConfig
+    data_spec: DataSpec
+    dpr: List[float]
+
+    @nn.compact
+    def __call__(self, x, x_downsample, deterministic: bool = True):
+        cfg = self.config
+        num_layers = len(cfg.depths)
+        num_patches = self.data_spec.dim_in // cfg.patch_size
+        dt = cfg.compute_dtype
+
+        for inx in range(num_layers):
+            down_idx = num_layers - 1 - inx
+            concat_out = int(cfg.embed_dim * 2**down_idx)
+            if inx == 0:
+                x = PatchExpand(dim=concat_out, dim_scale=2, dtype=dt, name="expand0")(x)
+            else:
+                x = jnp.concatenate([x, x_downsample[down_idx]], axis=-1)
+                x = dense(concat_out, dtype=dt, name=f"concat_back_dim{inx}")(x)
+                x = BasicLayerUp(
+                    config=cfg,
+                    base_pix=self.data_spec.base_pix,
+                    dim=concat_out,
+                    input_resolution=num_patches // (4**down_idx),
+                    depth=cfg.depths[down_idx],
+                    num_heads=cfg.num_heads[down_idx],
+                    drop_path=self.dpr[
+                        sum(cfg.depths[:down_idx]) : sum(cfg.depths[: down_idx + 1])
+                    ],
+                    upsample=down_idx > 0,
+                    name=f"layer_up{inx}",
+                )(x, deterministic)
+
+        x = LayerNorm(dtype=dt, name="norm_up")(x)
+        x = FinalPatchExpand_X4(patch_size=cfg.patch_size, dim=cfg.embed_dim, dtype=dt, name="up")(x)
+        x = dense(self.data_spec.f_out, use_bias=False, dtype=dt, name="output")(x)
+        return x
+
+
+class SwinHPTransformerSys(nn.Module):
+    """HEAL-SWIN-UNet (reference SwinHPTransformerSys, swin_hp_transformer.py:821-955).
+
+    __call__(x: (B, npix, f_in)) -> (B, npix, f_out) logits/regression values in float32.
+    """
+
+    config: SwinHPTransformerConfig
+    data_spec: DataSpec
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        spec = self.data_spec
+        num_layers = len(cfg.depths)
+        num_features = int(cfg.embed_dim * 2 ** (num_layers - 1))
+        num_patches = spec.dim_in // cfg.patch_size
+        dt = cfg.compute_dtype
+
+        x = x.astype(dt)
+        x = PatchEmbed(
+            patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim,
+            use_norm=cfg.patch_embed_norm_layer is not None,
+            dtype=dt,
+            name="patch_embed",
+        )(x)
+
+        if cfg.ape:
+            ape = self.param(
+                "absolute_pos_embed", trunc_normal_init, (1, num_patches, cfg.embed_dim),
+                jnp.float32,
+            )
+            x = x + ape.astype(dt)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        dpr = list(np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)))
+
+        x_downsample = []
+        for i_layer in range(num_layers):
+            x_downsample.append(x)
+            x = BasicLayer(
+                config=cfg,
+                base_pix=spec.base_pix,
+                dim=int(cfg.embed_dim * 2**i_layer),
+                input_resolution=num_patches // (4**i_layer),
+                depth=cfg.depths[i_layer],
+                num_heads=cfg.num_heads[i_layer],
+                drop_path=dpr[sum(cfg.depths[:i_layer]) : sum(cfg.depths[: i_layer + 1])],
+                downsample=i_layer < num_layers - 1,
+                name=f"layer{i_layer}",
+            )(x, deterministic)
+
+        x = LayerNorm(dtype=dt, name="norm")(x)
+        x = UnetDecoder(config=cfg, data_spec=spec, dpr=dpr, name="decoder")(
+            x, x_downsample, deterministic
+        )
+        return x.astype(jnp.float32)
