@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Headline benchmark: HEAL-SWIN-UNet training throughput (images/sec/chip).
+
+Paper-scale config (reference swin_hp_synwoodscape_large_train_run_config.py:35-92):
+nside=256 / base_pix=8 -> 524,288-pixel inputs, SwinUNet-T capacity (embed 96, depths
+[2,2,6,2], heads [3,6,12,24], window 64, ring_shift 4, cosine attention, v2 norm,
+flat rel-pos bias), batch 2 per chip, Adam.  One fully jitted, donated train step
+(forward + weighted-CE + backward + Adam), bf16 compute / f32 params.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).  We use an
+estimated reference throughput of 2.5 images/sec per A100 (fp32, torch 1.8,
+train_time_per_sample ~400 ms — derived from the model's ~2 TFLOP/image forward+backward
+at the ~15-25% fp32 utilization typical of this unfused windowed-attention workload).
+vs_baseline = our_images_per_sec_per_chip / 2.5.
+
+Env knobs: BENCH_NSIDE (default 256), BENCH_BATCH (default 2), BENCH_STEPS (default 10).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from heal_swin_tpu.data.data_spec import DataSpec
+    from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig, SwinHPTransformerSys
+    from heal_swin_tpu.training.losses import weighted_cross_entropy
+
+    nside = int(os.environ.get("BENCH_NSIDE", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 2))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    npix = 8 * nside * nside
+    n_classes = 10
+
+    print(f"bench: nside={nside} npix={npix} batch={batch} on {jax.devices()[0]}",
+          file=sys.stderr)
+
+    cfg = SwinHPTransformerConfig(
+        patch_size=4, window_size=64, shift_size=4, shift_strategy="ring_shift",
+        rel_pos_bias="flat", embed_dim=96, depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24],
+        use_cos_attn=True, use_v2_norm_placement=True, dtype="bfloat16",
+    )
+    spec = DataSpec(dim_in=npix, f_in=3, f_out=n_classes, base_pix=8)
+    model = SwinHPTransformerSys(cfg, spec)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (batch, npix, 3), jnp.float32, 0.0, 255.0)
+    y = jax.random.randint(rng, (batch, npix), 0, n_classes, jnp.int32)
+
+    t0 = time.time()
+    params = jax.jit(model.init, static_argnums=2)(rng, x, True)
+    print(f"init: {time.time()-t0:.1f}s, params="
+          f"{sum(p.size for p in jax.tree.leaves(params)):,}", file=sys.stderr)
+
+    tx = optax.adam(9.55e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, x, y, step_rng):
+        def loss_fn(p):
+            logits = model.apply(p, x, False, rngs={"dropout": step_rng})
+            return weighted_cross_entropy(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # warmup / compile
+    t0 = time.time()
+    params, opt_state, loss = train_step(params, opt_state, x, y, jax.random.PRNGKey(1))
+    loss.block_until_ready()
+    print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, x, y, jax.random.PRNGKey(2 + i)
+        )
+    loss.block_until_ready()
+    dt = time.time() - t0
+
+    images_per_sec = batch * steps / dt
+    ms_per_sample = 1000.0 * dt / (batch * steps)
+    print(f"{steps} steps in {dt:.2f}s -> {images_per_sec:.2f} img/s "
+          f"({ms_per_sample:.1f} ms/sample)", file=sys.stderr)
+
+    reference_a100_imgs_per_sec = 2.5  # documented estimate, see module docstring
+    print(json.dumps({
+        "metric": "heal_swin_unet_train_images_per_sec_per_chip",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip (nside=256, 524288 px, batch 2, bf16)",
+        "vs_baseline": round(images_per_sec / reference_a100_imgs_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

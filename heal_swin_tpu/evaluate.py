@@ -1,0 +1,105 @@
+"""Evaluation entry point: mirrors reference ``heal_swin/evaluate.py``.
+
+Resolves the checkpoint from a run id / path, dill-loads the saved model config from
+the run's artifacts, rebuilds the datamodule from ``eval_config.data_config``, runs
+validate and/or predict, and logs metrics INTO THE ORIGINAL TRAINING RUN
+(reference evaluate.py:92-96).
+
+One deliberate divergence: evaluation is not forced onto a single device — ragged
+batches are padded with a sample mask and metric states reduce across the mesh, so
+multi-device eval is exact (reference forces gpus=1, evaluate.py:98-105).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+from pathlib import Path
+
+from heal_swin_tpu.data.data import get_data_module
+from heal_swin_tpu.evaluation.evaluate_config import EvaluateConfig
+from heal_swin_tpu.models.tasks import MODEL_FROM_CONFIG_NAME
+from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+from heal_swin_tpu.training import checkpoint as ckpt_lib
+from heal_swin_tpu.training.train_config import PLConfig
+from heal_swin_tpu.training.trainer import Trainer
+from heal_swin_tpu.utils import serialize, utils
+
+
+def evaluate(eval_config: EvaluateConfig, pl_config: PLConfig, config_path: str = None):
+    ckpt_path, artifact_path, run_id = utils.check_and_get_ckpt_paths(
+        eval_config.path, eval_config.epoch, eval_config.epoch_number
+    )
+    artifact_path = Path(artifact_path)
+
+    serialize.save(eval_config, artifact_path / eval_config.eval_config_name)
+    if config_path is not None and Path(config_path).exists():
+        shutil.copy(config_path, artifact_path / Path(config_path).name)
+
+    model_config = serialize.load(artifact_path / "model_config")
+
+    datamodule, data_spec = get_data_module(eval_config.data_config)
+
+    if eval_config.metric_prefix is None:
+        if eval_config.epoch and eval_config.epoch.lower() == "number":
+            epoch = "epoch=" + str(eval_config.epoch_number)
+        elif run_id is None:
+            epoch = Path(ckpt_path).name
+        else:
+            epoch = eval_config.epoch
+        metric_prefix = "evaluate_" + epoch + "_"
+    else:
+        metric_prefix = eval_config.metric_prefix + "_"
+
+    task_cls = MODEL_FROM_CONFIG_NAME[type(model_config).__name__]
+    task = task_cls(model_config, data_spec, eval_config.data_config)
+
+    import jax
+
+    sample = next(iter(datamodule.val_dataloader()))
+    init_params = jax.eval_shape(
+        lambda: task.init_variables(jax.random.PRNGKey(0), sample[0][:1])
+    )
+    params, _, _ = ckpt_lib.load_checkpoint(ckpt_path, params_like=init_params)
+
+    # metrics land in the original training run (reference evaluate.py:92-96)
+    run = None
+    if run_id is not None:
+        run = MlflowFileStore(utils.get_mlruns_path()).get_run(run_id)
+
+    trainer = Trainer(pl_config, eval_config.train_config, run=run)
+    params = jax.device_put(params, trainer.repl)
+
+    if eval_config.validate:
+        # reference semantics: model.val_metrics_prefix prepends to the val_* names
+        metrics = trainer.validate(task, datamodule, params, metrics_prefix=metric_prefix + "val_")
+        print({k: round(v, 4) for k, v in metrics.items() if isinstance(v, float)})
+
+    if eval_config.predict:
+        writer = datamodule.get_pred_writer(
+            eval_config.pred_writer,
+            output_dir=artifact_path,
+            output_resolution=eval_config.output_resolution,
+            proj_res=eval_config.proj_res,
+            prefix=metric_prefix,
+            top_k=eval_config.top_k,
+            ranking_metric=eval_config.ranking_metric,
+            sort_dir=eval_config.sort_dir,
+            run=run,
+        )
+        trainer.predict(task, datamodule, params, writer=writer)
+
+    print("Evaluation finished.")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", required=True)
+    args = parser.parse_args()
+    eval_config = utils.get_config_from_config_path(args.config_path, "get_eval_run_config")
+    pl_config = utils.get_config_from_config_path(args.config_path, "get_pl_config")
+    evaluate(eval_config, pl_config, args.config_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,285 @@
+"""Task modules: model + loss + metrics + optimizer config bundles.
+
+These replace the reference's pytorch-lightning modules
+(``heal_swin/models_lightning/*``) with pure dataclasses + JAX functions consumed by
+the Trainer.  Names, config classes and the registry dicts mirror
+``models_lightning/models_lightning.py:12-34``:
+
+- ``swin_hp``      WoodscapeSegmenterSwinHP   (model_lightning_swin_hp.py)
+- ``swin``         WoodscapeSegmenterSwin     (model_lightning_swin.py)
+- ``depth_swin_hp`` WoodscapeDepthSwinHP      (model_lightning_depth_swin_hp.py)
+- ``depth_swin``   WoodscapeDepthSwin         (model_lightning_depth_swin.py)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heal_swin_tpu.data.data_spec import DataSpec
+from heal_swin_tpu.evaluation import metrics as M
+from heal_swin_tpu.models.swin_flat import SwinTransformerConfig, SwinTransformerSys
+from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig, SwinHPTransformerSys
+from heal_swin_tpu.training.losses import get_depth_loss, weighted_cross_entropy
+from heal_swin_tpu.training.optimizer import OptimizerConfig
+
+
+@dataclass
+class CommonDepthConfig:
+    """Reference depth_common_config.py:5-10."""
+
+    loss: str = "l2"  # "l2" | "l1" | "huber"
+    use_logvar: bool = False
+    train_uncertainty_after: int = -1
+    huber_delta: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Segmentation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WoodscapeSegmenterSwinHPConfig:
+    swin_hp_transformer_config: SwinHPTransformerConfig = field(
+        default_factory=SwinHPTransformerConfig
+    )
+    optimizer_config: OptimizerConfig = field(default_factory=OptimizerConfig)
+    class_weights: Optional[List[float]] = None
+
+
+@dataclass
+class WoodscapeSegmenterSwinConfig:
+    swin_transformer_config: SwinTransformerConfig = field(default_factory=SwinTransformerConfig)
+    optimizer_config: OptimizerConfig = field(default_factory=OptimizerConfig)
+    class_weights: Optional[List[float]] = None
+
+
+class _SegmenterBase:
+    """Shared segmentation task logic (reference model_lightning_swin_hp.py:26-114)."""
+
+    input_key: str  # key of the network input in predict dict batches
+
+    def __init__(self, config, data_spec: DataSpec, data_config=None):
+        self.config = config
+        self.data_spec = data_spec
+        self.data_config = data_config
+        self.optimizer_config = config.optimizer_config
+        self.num_classes = data_spec.f_out
+        self.class_names = data_spec.class_names or [str(c) for c in range(data_spec.f_out)]
+        if config.class_weights is None:
+            self.class_weights = np.ones(data_spec.f_out, dtype=np.float32)
+        else:
+            assert len(config.class_weights) == data_spec.f_out
+            self.class_weights = np.asarray(config.class_weights, dtype=np.float32)
+        self.model = self._build_model(config, data_spec)
+
+    def init_variables(self, rng, imgs):
+        return self.model.init(rng, jnp.asarray(imgs), True)
+
+    def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None):
+        """Returns (loss, logits).  imgs float, targets int."""
+        rngs = {"dropout": rng} if rng is not None else None
+        logits = self.model.apply(params, imgs, deterministic, rngs=rngs)
+        loss = weighted_cross_entropy(
+            logits, targets, jnp.asarray(self.class_weights), sample_mask=sample_mask
+        )
+        return loss, logits
+
+    def predict(self, params, imgs):
+        logits = self.model.apply(params, jnp.asarray(imgs), True)
+        return jnp.argmax(logits, axis=-1)
+
+    # --- metrics protocol ---
+    def metric_init(self):
+        return M.seg_state_init(self.num_classes)
+
+    def metric_update(self, state, logits, targets, sample_mask=None):
+        preds = jnp.argmax(logits, axis=-1)
+        return M.seg_state_update(state, preds, targets, self.num_classes, sample_mask)
+
+    def metric_compute(self, state, prefix, with_per_class=False):
+        return M.seg_state_compute(
+            state, prefix, class_names=self.class_names if with_per_class else None
+        )
+
+
+class WoodscapeSegmenterSwinHP(_SegmenterBase):
+    CONFIG_CLASS = WoodscapeSegmenterSwinHPConfig
+    NAME = "swin_hp"
+    input_key = "hp_imgs"
+
+    def _build_model(self, config, data_spec):
+        return SwinHPTransformerSys(config.swin_hp_transformer_config, data_spec)
+
+
+class WoodscapeSegmenterSwin(_SegmenterBase):
+    CONFIG_CLASS = WoodscapeSegmenterSwinConfig
+    NAME = "swin"
+    input_key = "s2_imgs"
+
+    def _build_model(self, config, data_spec):
+        return SwinTransformerSys(config.swin_transformer_config, data_spec)
+
+
+# ---------------------------------------------------------------------------
+# Depth estimation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WoodscapeDepthSwinHPConfig:
+    swin_hp_transformer_config: SwinHPTransformerConfig = field(
+        default_factory=SwinHPTransformerConfig
+    )
+    optimizer_config: OptimizerConfig = field(default_factory=OptimizerConfig)
+    common_depth_config: CommonDepthConfig = field(default_factory=CommonDepthConfig)
+
+
+@dataclass
+class WoodscapeDepthSwinConfig:
+    swin_transformer_config: SwinTransformerConfig = field(default_factory=SwinTransformerConfig)
+    optimizer_config: OptimizerConfig = field(default_factory=OptimizerConfig)
+    common_depth_config: CommonDepthConfig = field(default_factory=CommonDepthConfig)
+
+
+class _DepthBase:
+    """Shared depth task logic (reference model_lightning_depth_swin_hp.py).
+
+    The network is trained in transformed+normalized space; ``forward``/``predict``
+    un-normalizes and re-transforms channel 0 so the task always emits metric depths
+    (reference :92-100).  The loss re-normalizes targets (reference :132-159).
+    """
+
+    input_key: str
+
+    def __init__(self, config, data_spec, data_config=None):
+        from heal_swin_tpu.data import normalize_depth_data as ndd
+
+        self.config = config
+        self.data_spec = data_spec
+        self.data_config = data_config
+        self.optimizer_config = config.optimizer_config
+        self.cd = config.common_depth_config
+        f_out = 2 if self.cd.use_logvar else 1
+        self.model = self._build_model(config, data_spec.replace(f_out=f_out))
+        self.loss_impl = get_depth_loss(self.cd)
+        self.dc = data_config.common_depth if data_config is not None else None
+        # stats in transform space (normalization); metric-space mean for RelSE/RelAE
+        if data_spec.data_stats is not None:
+            self.norm_stats = data_spec.data_stats
+        elif self.dc is not None:
+            self.norm_stats = ndd.get_depth_data_stats(
+                self.dc.data_transform, self.dc.mask_background
+            )
+        else:
+            self.norm_stats = None
+        mb = self.dc.mask_background if self.dc is not None else False
+        self.metric_stats = ndd.get_depth_data_stats(None, mb)
+        self.num_classes = None
+        self.class_names = None
+
+    def _to_metric(self, out_ch0):
+        """Un-normalize + inverse-transform network output to metric depths
+        (reference model_lightning_depth_swin_hp.py:92-100)."""
+        from heal_swin_tpu.data import normalize_depth_data as ndd
+
+        if self.dc is None:
+            return out_ch0
+        return ndd.unnormalize_and_retransform(
+            out_ch0, self.dc.normalize_data, self.norm_stats, self.dc.data_transform
+        )
+
+    def _to_network(self, metric_depth):
+        from heal_swin_tpu.data import normalize_depth_data as ndd
+
+        if self.dc is None:
+            return metric_depth
+        return ndd.transform_and_normalize(
+            metric_depth, self.dc.normalize_data, self.norm_stats, self.dc.data_transform
+        )
+
+    def init_variables(self, rng, imgs):
+        return self.model.init(rng, jnp.asarray(imgs), True)
+
+    def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None):
+        """targets come from the dataloader already in network (transformed+normalized)
+        space with non-finite background markers, exactly as in the reference
+        (model_lightning_depth_swin_hp.py:132-143); the loss runs in that space."""
+        rngs = {"dropout": rng} if rng is not None else None
+        out = self.model.apply(params, imgs, deterministic, rngs=rngs)
+        t = targets
+        if sample_mask is not None:
+            m = jnp.reshape(sample_mask, sample_mask.shape + (1,) * (t.ndim - sample_mask.ndim))
+            t = jnp.where(m, t, jnp.inf)  # inf targets are excluded from depth losses
+        loss = self.loss_impl(out, t, mask_background=getattr(self.dc, "mask_background", False))
+        return loss, out
+
+    def predict(self, params, imgs):
+        """Emit metric depths on channel 0 (reference forward, :92-100); the logvar
+        channel (if any) stays in network space."""
+        out = self.model.apply(params, jnp.asarray(imgs), True)
+        ch0 = self._to_metric(out[..., 0])
+        if out.shape[-1] > 1:
+            return jnp.concatenate([ch0[..., None], out[..., 1:]], axis=-1)
+        return ch0[..., None]
+
+    def metric_init(self):
+        return M.depth_state_init()
+
+    def metric_update(self, state, out, targets, sample_mask=None):
+        """Metrics in metric space: both prediction and target are un-normalized and
+        re-transformed (reference :145-158)."""
+        pred_metric = self._to_metric(out[..., 0])
+        t = self._to_metric(targets)
+        if sample_mask is not None:
+            t = jnp.where(
+                jnp.reshape(sample_mask, sample_mask.shape + (1,) * (t.ndim - sample_mask.ndim)),
+                t,
+                jnp.inf,
+            )
+        return M.depth_state_update(
+            state, pred_metric, t, dataset_mean=float(self.metric_stats.mean)
+        )
+
+    def metric_compute(self, state, prefix, with_per_class=False):
+        return M.depth_state_compute(state, prefix)
+
+
+class WoodscapeDepthSwinHP(_DepthBase):
+    CONFIG_CLASS = WoodscapeDepthSwinHPConfig
+    NAME = "depth_swin_hp"
+    input_key = "hp_imgs"
+
+    def _build_model(self, config, data_spec):
+        return SwinHPTransformerSys(config.swin_hp_transformer_config, data_spec)
+
+
+class WoodscapeDepthSwin(_DepthBase):
+    CONFIG_CLASS = WoodscapeDepthSwinConfig
+    NAME = "depth_swin"
+    input_key = "s2_imgs"
+
+    def _build_model(self, config, data_spec):
+        return SwinTransformerSys(config.swin_transformer_config, data_spec)
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference models_lightning.py:12-34)
+# ---------------------------------------------------------------------------
+
+MODEL_CLASSES = [
+    WoodscapeSegmenterSwin,
+    WoodscapeSegmenterSwinHP,
+    WoodscapeDepthSwin,
+    WoodscapeDepthSwinHP,
+]
+
+MODELS = {m.NAME: m for m in MODEL_CLASSES}
+MODEL_NAME_FROM_CONFIG_NAME = {m.CONFIG_CLASS.__name__: m.__name__ for m in MODEL_CLASSES}
+MODEL_FROM_CONFIG_NAME = {m.CONFIG_CLASS.__name__: m for m in MODEL_CLASSES}
+MODEL_FROM_NAME = {m.__name__: m for m in MODEL_CLASSES}

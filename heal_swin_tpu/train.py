@@ -1,0 +1,120 @@
+"""Training entry point: mirrors reference ``heal_swin/train.py``.
+
+``train_model(run_config, pl_config, config_path)`` builds the datamodule, task and
+trainer, snapshots all configs into the run's artifacts (dill + verbatim config file,
+reference train.py:122-146), logs flattened hyperparameters with the reference's
+prefixes (:219-227), fits, copies the best checkpoint, optionally evaluates, and prints
+``This run has id <id>`` (the string the reference's tests parse).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import traceback
+from dataclasses import asdict
+from pathlib import Path
+
+import numpy as np
+
+from heal_swin_tpu.data.data import get_data_module
+from heal_swin_tpu.models.tasks import MODEL_FROM_CONFIG_NAME
+from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+from heal_swin_tpu.training.train_config import PLConfig, SingleModelTrainRun
+from heal_swin_tpu.training.trainer import Trainer
+from heal_swin_tpu.utils import serialize, utils
+
+
+def get_effective_batch_size(run_config, pl_config, n_devices: int) -> int:
+    """effective batch = batch * devices * nodes * accumulation (reference :34-41)."""
+    accum = pl_config.accumulate_grad_batches
+    accum = accum if isinstance(accum, int) else 1
+    return run_config.data.common.batch_size * n_devices * pl_config.num_nodes * accum
+
+
+def save_config(artifacts_dir: Path, run_config, pl_config, task, data_spec, config_path=None):
+    """Dill-pickle the 6 config objects + verbatim config file (reference :122-146)."""
+    d = Path(artifacts_dir)
+    serialize.save(run_config.train, d / "train_config")
+    serialize.save(pl_config, d / "pl_config")
+    serialize.save(run_config.model, d / "model_config")
+    serialize.save(data_spec, d / "data_spec")
+    serialize.save(run_config.data, d / "data_config")
+    serialize.save(run_config, d / "run_config")
+    if config_path is not None and Path(config_path).exists():
+        shutil.copy(config_path, d / Path(config_path).name)
+
+
+def train_model(
+    run_config: SingleModelTrainRun,
+    pl_config: PLConfig,
+    config_path=None,
+    store: MlflowFileStore = None,
+):
+    train_config = run_config.train
+
+    if train_config.seed is not None:
+        np.random.seed(train_config.seed)
+
+    dm, data_spec = get_data_module(run_config.data)
+
+    store = store or MlflowFileStore(utils.get_mlruns_path())
+    run = store.create_run(train_config.mlflow_expmt, run_name=train_config.job_id)
+    print(f"This run has id {run.run_id}")
+
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+
+    ckpt_dir = run.artifact_dir / "checkpoints"
+    trainer = Trainer(pl_config, train_config, run=run, ckpt_dir=ckpt_dir)
+
+    save_config(run.artifact_dir, run_config, pl_config, task, data_spec, config_path)
+
+    # hyperparameters with the reference's prefixes (train.py:219-227)
+    params = {}
+    params.update(serialize.flatten_config(train_config, "train."))
+    params.update(serialize.flatten_config(run_config.model, "model."))
+    params.update(serialize.flatten_config(run_config.data, "data."))
+    params.update(serialize.flatten_config(data_spec, "data_spec."))
+    params["batch_size"] = run_config.data.common.batch_size
+    params["effective_batch_size"] = get_effective_batch_size(
+        run_config, pl_config, trainer.n_devices
+    )
+    params["n_devices"] = trainer.n_devices
+    run.log_params(params)
+    run.set_tag("cmd", " ".join(sys.argv))
+    if train_config.description:
+        run.set_tag("mlflow.note.content", train_config.description)
+
+    try:
+        result = trainer.fit(task, dm)
+        # total parameter count (reference logging_callbacks.py:47-59)
+        import jax
+
+        n_params = sum(int(p.size) for p in jax.tree.leaves(trainer._params))
+        run.log_param("total_params", n_params)
+
+        if train_config.eval_after_train and not pl_config.fast_dev_run:
+            # reference eval-after-train prefixes the val_* metric names (evaluate.py)
+            trainer.validate(task, dm, trainer._params, metrics_prefix="best_val_")
+
+        run.set_status("FINISHED")
+        return run.run_id, result
+    except BaseException:
+        run.set_status("KILLED")
+        traceback.print_exc()
+        raise
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", required=True)
+    args = parser.parse_args()
+    run_config = utils.get_config_from_config_path(args.config_path, "get_train_run_config")
+    pl_config = utils.get_config_from_config_path(args.config_path, "get_pl_config")
+    train_model(run_config, pl_config, config_path=args.config_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Checkpoint management: top-k by monitored metric + last + best pointer.
+
+Mirrors the reference's ModelCheckpoint behavior (reference heal_swin/train.py:83-90,
+231-235): save_top_k=3 on ``ckpt_metric``, save_last=True, filenames
+``epoch={e}_{metric}={value:.4f}.ckpt``, rank-0 copies the best to ``best.ckpt`` after
+fit.  Checkpoints embed run_id + experiment (reference logging_callbacks.py:195-200).
+
+Format: a single msgpack file (flax.serialization) holding params, opt_state, epoch,
+global_step, rng key, scheduler state and metadata.  Restore targets a matching pytree
+structure.  Params are device-replicated on load by the trainer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, params, opt_state, meta: Dict[str, Any]):
+    state = {
+        "params": serialization.to_state_dict(_to_numpy_tree(params)),
+        "opt_state": serialization.to_state_dict(_to_numpy_tree(opt_state)),
+        "meta": meta,
+    }
+    data = serialization.msgpack_serialize(state)
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, params_like=None, opt_state_like=None):
+    """Returns (params, opt_state, meta).  If *_like pytrees are given, restores into
+    their structure (so jnp dtypes/shardings can be re-applied by the caller)."""
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    params, opt_state, meta = state["params"], state["opt_state"], state.get("meta", {})
+    if params_like is not None:
+        params = serialization.from_state_dict(params_like, params)
+    if opt_state_like is not None:
+        opt_state = serialization.from_state_dict(opt_state_like, opt_state)
+    return params, opt_state, meta
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir, monitor: str, mode: str = "max", save_top_k: int = 3):
+        self.dir = Path(ckpt_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self.saved: List[tuple] = []  # (value, path)
+
+    def _is_better(self, a, b):
+        return a > b if self.mode == "max" else a < b
+
+    def save_epoch(self, epoch: int, metrics: Dict[str, float], params, opt_state,
+                   meta: Dict[str, Any]):
+        """Save last.ckpt always; save epoch ckpt if in top-k of the monitored metric."""
+        meta = dict(meta, epoch=epoch, metrics=metrics)
+        save_checkpoint(self.dir / "last.ckpt", params, opt_state, meta)
+
+        value = metrics.get(self.monitor)
+        if value is None:
+            return None
+        fname = f"epoch={epoch}_{self.monitor}={value:.4f}.ckpt"
+        if len(self.saved) < self.save_top_k or any(
+            self._is_better(value, v) for v, _ in self.saved
+        ):
+            path = self.dir / fname
+            save_checkpoint(path, params, opt_state, meta)
+            self.saved.append((value, path))
+            self.saved.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
+            while len(self.saved) > self.save_top_k:
+                _, worst = self.saved.pop()
+                worst.unlink(missing_ok=True)
+            return path
+        return None
+
+    def finalize_best(self) -> Optional[Path]:
+        """Copy the best checkpoint to best.ckpt (reference train.py:231-235)."""
+        if not self.saved:
+            return None
+        best = self.saved[0][1]
+        if best.exists():
+            shutil.copy(best, self.dir / "best.ckpt")
+            return self.dir / "best.ckpt"
+        return None
+
+
+_EPOCH_RE = re.compile(r"epoch=(\d+)_.*\.ckpt$")
+
+
+def find_checkpoint(artifacts_dir, epoch: Optional[str] = "best",
+                    epoch_number: Optional[str] = None) -> Path:
+    """Resolve a checkpoint inside an artifacts dir by selector
+    best/last/number (reference utils.check_and_get_ckpt_paths, utils.py:141-198)."""
+    d = Path(artifacts_dir)
+    candidates = list(d.glob("**/*.ckpt"))
+    if not candidates:
+        raise FileNotFoundError(f"no checkpoints under {d}")
+    base = candidates[0].parent
+    if epoch == "best":
+        p = base / "best.ckpt"
+        if p.exists():
+            return p
+        epoch = "last"
+    if epoch == "last":
+        p = base / "last.ckpt"
+        if p.exists():
+            return p
+        raise FileNotFoundError(f"last.ckpt not found under {base}")
+    if epoch == "number":
+        for c in candidates:
+            m = _EPOCH_RE.match(c.name)
+            if m and m.group(1) == str(epoch_number):
+                return c
+        raise FileNotFoundError(f"epoch={epoch_number} checkpoint not found under {base}")
+    raise ValueError(f"unknown epoch selector: {epoch}")

@@ -1,0 +1,84 @@
+"""Loss functions (pure JAX).
+
+- Class-weighted cross entropy with torch.nn.CrossEntropyLoss semantics
+  (weighted mean normalized by the sum of target-class weights), used by the
+  segmentation tasks (reference model_lightning_swin_hp.py:39-45).
+- Depth regression losses with inf-masked targets (reference
+  heal_swin/training/loss_depth_regression.py).  Masked positions (target == inf)
+  contribute zero and are excluded from the mean.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def weighted_cross_entropy(logits, targets, class_weights=None, sample_mask=None):
+    """logits: (..., C) float; targets: (...) int.  torch CrossEntropyLoss(weight=w):
+    sum_i w[y_i] * nll_i / sum_i w[y_i].  ``sample_mask``: optional (B,) or
+    element-shaped bool excluding padded samples from the mean."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if class_weights is None:
+        w = jnp.ones_like(nll)
+    else:
+        w = jnp.asarray(class_weights, dtype=jnp.float32)[targets]
+    if sample_mask is not None:
+        m = jnp.reshape(sample_mask, sample_mask.shape + (1,) * (nll.ndim - sample_mask.ndim))
+        w = w * m.astype(w.dtype)
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def _masked_mean(values, mask):
+    cnt = jnp.sum(mask)
+    return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(cnt, 1)
+
+
+def mse(preds, target, mask_background: bool = False):
+    """Reference depth 'l2' loss: mean of squared diff / 2 over finite targets.
+    preds: (B, N, f_out) channels-last; channel 0 holds the mean prediction."""
+    means = preds[..., 0]
+    mask = ~jnp.isinf(target)
+    return _masked_mean(jnp.square(means - jnp.where(mask, target, 0.0)) / 2.0, mask)
+
+
+def mean_log_var_loss(preds, target, mask_background: bool = False):
+    """Gaussian NLL over (mean, logvar) channels (reference loss_depth_regression.py:24-40)."""
+    means = preds[..., 0]
+    log_var = preds[..., 1]
+    mask = ~jnp.isinf(target)
+    t = jnp.where(mask, target, 0.0)
+    lv = jnp.where(mask, log_var, 0.0)
+    vals = 0.5 * lv + jnp.square(means - t) * (0.5 * jnp.exp(-lv))
+    return _masked_mean(vals, mask)
+
+
+def l1_loss(preds, target, mask_background: bool = False):
+    means = preds[..., 0]
+    mask = ~jnp.isinf(target)
+    return _masked_mean(jnp.abs(means - jnp.where(mask, target, 0.0)), mask)
+
+
+def huber_loss(preds, target, mask_background: bool = False, delta: float = 1.0):
+    """torch SmoothL1Loss(beta=delta): 0.5*d^2/beta if |d|<beta else |d|-0.5*beta."""
+    means = preds[..., 0]
+    mask = ~jnp.isinf(target)
+    d = jnp.abs(means - jnp.where(mask, target, 0.0))
+    vals = jnp.where(d < delta, 0.5 * d * d / delta, d - 0.5 * delta)
+    return _masked_mean(vals, mask)
+
+
+def get_depth_loss(common_depth_config) -> Callable:
+    """Mirror of reference get_depth_loss (loss_depth_regression.py:70-83)."""
+    if common_depth_config.use_logvar:
+        return mean_log_var_loss
+    losses = {
+        "l2": mse,
+        "l1": l1_loss,
+        "huber": partial(huber_loss, delta=common_depth_config.huber_delta),
+    }
+    return losses[common_depth_config.loss]

@@ -1,0 +1,386 @@
+"""The training engine: replaces pytorch-lightning's Trainer with a jit/pjit loop.
+
+TPU-native design (SURVEY.md §7.1 step 4, §5.8):
+- one ``jax.sharding.Mesh`` over the data axis; params/optimizer state replicated,
+  batches sharded on axis 0 (XLA inserts the gradient all-reduce over ICI);
+- ``batch_size`` keeps the reference's per-device meaning: the loader produces global
+  batches of ``batch_size * n_devices`` (reference effective-batch accounting,
+  train.py:34-59);
+- ONE jitted train step (donated params/opt/metric state) and one jitted eval step;
+  metrics accumulate on device as confusion-matrix / sum states — no per-step host sync
+  (loss is fetched at epoch end or every ``log_every_n_steps``);
+- LR schedulers run host-side between epochs through an injected optax hyperparameter
+  (no recompiles);
+- ragged validation batches are padded to the mesh size with a sample mask, instead of
+  the reference's forced single-device evaluation (evaluate.py:98-105).
+
+Honored PLConfig flags are documented in training/train_config.py.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from heal_swin_tpu.training import checkpoint as ckpt_lib
+from heal_swin_tpu.training.optimizer import (
+    get_learning_rate,
+    make_optimizer,
+    make_scheduler,
+    set_learning_rate,
+)
+from heal_swin_tpu.training.train_config import PLConfig, TrainConfig
+
+
+def _limit(n_batches: int, limit) -> int:
+    if isinstance(limit, bool):
+        return n_batches
+    if isinstance(limit, float):
+        return max(1, int(n_batches * limit)) if limit < 1.0 else n_batches
+    return min(n_batches, int(limit))
+
+
+@dataclass
+class FitResult:
+    epochs_run: int
+    global_step: int
+    best_ckpt_path: Optional[str]
+    last_metrics: Dict[str, float]
+
+
+class Trainer:
+    def __init__(
+        self,
+        pl_config: PLConfig,
+        train_config: Optional[TrainConfig] = None,
+        run=None,  # tracking.mlflow_store.MlflowRun or None
+        ckpt_dir=None,
+    ):
+        self.pl = pl_config
+        self.tc = train_config or TrainConfig()
+        self.run = run
+
+        n_req = pl_config.num_devices()
+        devices = jax.devices()
+        if n_req is not None:
+            devices = devices[: min(n_req, len(devices))]
+        self.devices = devices
+        self.n_devices = len(devices)
+        self.mesh = Mesh(np.asarray(devices), ("data",))
+        self.repl = NamedSharding(self.mesh, P())
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+
+        self.ckpt_manager = None
+        if ckpt_dir is not None and pl_config.checkpoint_callback and not pl_config.fast_dev_run:
+            self.ckpt_manager = ckpt_lib.CheckpointManager(
+                ckpt_dir, monitor=self.tc.ckpt_metric, mode=self.tc.ckpt_mode, save_top_k=3
+            )
+
+        self.global_step = 0
+        self.current_epoch = 0
+
+    # ------------------------------------------------------------------ util
+    def _log(self, metrics: Dict[str, float], step: Optional[int] = None):
+        if self.run is not None:
+            s = (step if step is not None else self.global_step) + self.tc.logging_step_offset
+            self.run.log_metrics(metrics, step=s)
+
+    def _put_batch(self, arrays):
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), self.batch_sharding), arrays
+        )
+
+    def _pad_batch(self, imgs, targets):
+        """Pad a ragged batch up to a multiple of n_devices; returns sample mask."""
+        b = imgs.shape[0]
+        target_b = -(-b // self.n_devices) * self.n_devices
+        mask = np.zeros(target_b, dtype=bool)
+        mask[:b] = True
+        if target_b != b:
+            pad = [(0, target_b - b)] + [(0, 0)] * (imgs.ndim - 1)
+            imgs = np.pad(imgs, pad, mode="edge")
+            tpad = [(0, target_b - b)] + [(0, 0)] * (targets.ndim - 1)
+            targets = np.pad(targets, tpad, mode="edge")
+        return imgs, targets, mask
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, task, datamodule, resume_state: Optional[dict] = None):
+        pl = self.pl
+        tc = self.tc
+
+        if tc.seed is not None:
+            np.random.seed(tc.seed)
+        root_rng = jax.random.PRNGKey(tc.seed if tc.seed is not None else 0)
+
+        # data
+        train_loader = datamodule.train_dataloader()
+        per_dev_bs = train_loader.batch_size
+        train_loader.batch_size = per_dev_bs * self.n_devices  # reference per-device semantics
+        train_loader.drop_last = True
+        # tiny subsets (manual-overfit) must still fill one global batch
+        avail = (
+            train_loader.indices
+            if train_loader.indices is not None
+            else np.arange(len(train_loader.dataset))
+        )
+        if len(avail) < train_loader.batch_size:
+            train_loader.indices = np.resize(avail, train_loader.batch_size)
+
+        # params / optimizer
+        init_rng, rng = jax.random.split(root_rng)
+        sample_imgs, sample_targets = next(iter(train_loader))
+        params = jax.jit(task.init_variables)(init_rng, jnp.asarray(sample_imgs[:1]))
+
+        accum = pl.accumulate_grad_batches if isinstance(pl.accumulate_grad_batches, int) else 1
+        tx = make_optimizer(task.optimizer_config, gradient_clip_val=pl.gradient_clip_val)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        opt_state = jax.jit(tx.init)(params)
+
+        scheduler = make_scheduler(task.optimizer_config)
+
+        start_epoch = 0
+        if tc.load_checkpoint:  # warm start, weights only (reference train.py:193-200)
+            p, _, _ = ckpt_lib.load_checkpoint(tc.load_checkpoint, params_like=params)
+            params = p
+        if pl.resume_from_checkpoint:  # full resume (reference resume.py)
+            params, opt_state, meta = ckpt_lib.load_checkpoint(
+                pl.resume_from_checkpoint, params_like=params, opt_state_like=opt_state
+            )
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            self.global_step = int(meta.get("global_step", 0))
+            if scheduler is not None and meta.get("scheduler"):
+                scheduler.load_state_dict(meta["scheduler"])
+                opt_state = set_learning_rate(opt_state, scheduler.lr)
+        if resume_state:
+            params = resume_state.get("params", params)
+
+        params = jax.device_put(params, self.repl)
+        opt_state = jax.device_put(opt_state, self.repl)
+
+        # jitted steps
+        @partial(
+            jax.jit,
+            donate_argnums=(0, 1, 2, 3),
+            out_shardings=(self.repl, self.repl, self.repl, self.repl, self.repl),
+        )
+        def train_step(params, opt_state, mstate, loss_acc, imgs, targets, step_rng):
+            def lf(p):
+                return task.loss_fn(p, imgs, targets, rng=step_rng, deterministic=False)
+
+            (loss, outputs), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            mstate2 = task.metric_update(mstate, outputs, targets)
+            return params2, opt_state2, mstate2, loss_acc + loss, loss
+
+        self._train_step = train_step
+        self._get_eval_step(task)  # build + cache
+
+        max_epochs = pl.max_epochs if pl.max_epochs is not None else 1000
+        if pl.fast_dev_run:
+            max_epochs = 1
+
+        # sanity validation (Lightning num_sanity_val_steps)
+        if pl.num_sanity_val_steps and not pl.fast_dev_run:
+            self._run_validation(
+                task, datamodule, params, max_batches=pl.num_sanity_val_steps, log=False
+            )
+
+        best_metrics: Dict[str, float] = {}
+        es_best = -math.inf if tc.early_stopping_mode == "max" else math.inf
+        es_bad_epochs = 0
+        stop = False
+
+        epoch = start_epoch
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(start_epoch, max_epochs):
+            self.current_epoch = epoch
+            train_loader.set_epoch(epoch)
+            n_train_batches = _limit(len(train_loader), pl.limit_train_batches)
+            if pl.fast_dev_run:
+                n_train_batches = 1
+
+            mstate = jax.device_put(jax.jit(task.metric_init)(), self.repl)
+            loss_acc = jax.device_put(jnp.zeros((), jnp.float32), self.repl)
+            n_steps_epoch = 0
+            t0 = time.time()
+            samples_seen = 0
+
+            for i, (imgs, targets) in enumerate(train_loader):
+                if i >= n_train_batches:
+                    break
+                imgs_d, targets_d = self._put_batch((imgs, targets))
+                step_rng = jax.random.fold_in(rng, self.global_step)
+                params, opt_state, mstate, loss_acc, loss = train_step(
+                    params, opt_state, mstate, loss_acc, imgs_d, targets_d, step_rng
+                )
+                self.global_step += 1
+                n_steps_epoch += 1
+                samples_seen += imgs.shape[0]
+
+                if pl.terminate_on_nan or (self.global_step % pl.log_every_n_steps == 0):
+                    loss_val = float(loss)
+                    if pl.terminate_on_nan and not math.isfinite(loss_val):
+                        raise FloatingPointError(
+                            f"non-finite train loss {loss_val} at step {self.global_step}"
+                        )
+                    if self.global_step % pl.log_every_n_steps == 0:
+                        self._log({"train_loss_step": loss_val})
+                if pl.max_steps is not None and self.global_step >= pl.max_steps:
+                    stop = True
+                    break
+
+            epoch_time = time.time() - t0
+            train_metrics = task.metric_compute(mstate, "train_")
+            if n_steps_epoch:
+                train_metrics["train_loss"] = float(loss_acc) / n_steps_epoch
+            train_metrics["epoch"] = epoch
+            train_metrics["train_time_per_sample in ms"] = (
+                epoch_time * 1000.0 / max(samples_seen, 1)
+            )
+            opt_name = task.optimizer_config.optimizer_name
+            train_metrics[f"lr-{opt_name}"] = get_learning_rate(opt_state)
+            self._log(train_metrics)
+            last_metrics.update(train_metrics)
+
+            # validation
+            val_metrics: Dict[str, float] = {}
+            if (epoch + 1) % pl.check_val_every_n_epoch == 0 or pl.fast_dev_run:
+                n_val = 1 if pl.fast_dev_run else None
+                val_metrics = self._run_validation(task, datamodule, params, max_batches=n_val)
+                last_metrics.update(val_metrics)
+
+            all_metrics = {**train_metrics, **val_metrics}
+
+            # checkpointing
+            if self.ckpt_manager is not None:
+                meta = {
+                    "run_id": self.run.run_id if self.run else None,
+                    "experiment": tc.mlflow_expmt,
+                    "global_step": self.global_step,
+                    "scheduler": scheduler.state_dict() if scheduler else None,
+                }
+                self.ckpt_manager.save_epoch(epoch, all_metrics, params, opt_state, meta)
+
+            # scheduler
+            if scheduler is not None:
+                new_lr = scheduler.step(all_metrics)
+                opt_state = set_learning_rate(opt_state, new_lr)
+
+            # early stopping (reference train.py:106-114)
+            if tc.early_stopping and tc.early_stopping_monitor in all_metrics:
+                cur = all_metrics[tc.early_stopping_monitor]
+                better = (
+                    cur > es_best + tc.early_stopping_min_delta
+                    if tc.early_stopping_mode == "max"
+                    else cur < es_best - tc.early_stopping_min_delta
+                )
+                if better:
+                    es_best = cur
+                    es_bad_epochs = 0
+                else:
+                    es_bad_epochs += 1
+                    if es_bad_epochs >= tc.early_stopping_patience:
+                        stop = True
+
+            best_metrics = all_metrics
+            if stop:
+                break
+
+        best_path = None
+        if self.ckpt_manager is not None:
+            p = self.ckpt_manager.finalize_best()
+            best_path = str(p) if p else None
+
+        self._params = params  # for eval_after_train
+        return FitResult(
+            epochs_run=epoch - start_epoch + 1,
+            global_step=self.global_step,
+            best_ckpt_path=best_path,
+            last_metrics=best_metrics,
+        )
+
+    # ------------------------------------------------------------- validation
+    def _get_eval_step(self, task):
+        cache = getattr(self, "_eval_steps", None)
+        if cache is None:
+            cache = self._eval_steps = {}
+        key = id(task)
+        if key not in cache:
+            @partial(jax.jit, donate_argnums=(1,))
+            def eval_step(params, mstate, imgs, targets, sample_mask):
+                loss, outputs = task.loss_fn(
+                    params, imgs, targets, deterministic=True, sample_mask=sample_mask
+                )
+                mstate2 = task.metric_update(mstate, outputs, targets, sample_mask=sample_mask)
+                valid = jnp.sum(sample_mask.astype(jnp.float32))
+                return mstate2, loss * valid, valid
+
+            cache[key] = eval_step
+        return cache[key]
+
+    def _run_validation(self, task, datamodule, params, max_batches=None, log=True,
+                        metrics_prefix="val_", with_per_class=True):
+        loader = datamodule.val_dataloader()
+        n = _limit(len(loader), self.pl.limit_val_batches)
+        if max_batches is not None:
+            n = min(n, max_batches)
+
+        mstate = jax.device_put(jax.jit(task.metric_init)(), self.repl)
+        loss_sum, count = 0.0, 0.0
+        eval_step = self._get_eval_step(task)
+
+        for i, (imgs, targets) in enumerate(loader):
+            if i >= n:
+                break
+            imgs, targets, mask = self._pad_batch(np.asarray(imgs), np.asarray(targets))
+            imgs_d, targets_d, mask_d = self._put_batch((imgs, targets, mask))
+            mstate, batch_loss, valid = eval_step(params, mstate, imgs_d, targets_d, mask_d)
+            loss_sum += float(batch_loss)
+            count += float(valid)
+
+        metrics = task.metric_compute(mstate, metrics_prefix, with_per_class=with_per_class)
+        if count:
+            metrics[f"{metrics_prefix}loss"] = loss_sum / count
+        if log:
+            self._log(metrics)
+        return metrics
+
+    def validate(self, task, datamodule, params, metrics_prefix="val_"):
+        """Standalone validation (reference trainer.validate path in evaluate.py)."""
+        return self._run_validation(
+            task, datamodule, params, metrics_prefix=metrics_prefix, with_per_class=True
+        )
+
+    # ---------------------------------------------------------------- predict
+    def predict(self, task, datamodule, params, writer=None):
+        """Iterate the predict loader; feed predictions to the writer
+        (reference trainer.predict + BasePredictionWriter protocol)."""
+        loader = datamodule.predict_dataloader()
+        n = _limit(len(loader), self.pl.limit_predict_batches)
+
+        predict_fn = jax.jit(task.predict)
+        outputs = []
+        for i, batch in enumerate(loader):
+            if i >= n:
+                break
+            imgs = batch[task.input_key]
+            preds = np.asarray(predict_fn(params, jnp.asarray(imgs)))
+            if writer is not None:
+                writer.write_on_batch_end(preds, batch, i)
+            else:
+                outputs.append(preds)
+        if writer is not None:
+            writer.on_predict_epoch_end()
+            return None
+        return outputs
