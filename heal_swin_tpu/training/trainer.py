@@ -370,6 +370,9 @@ class Trainer:
         n = _limit(len(loader), self.pl.limit_predict_batches)
 
         predict_fn = jax.jit(task.predict)
+        if writer is not None and hasattr(writer, "set_predict_fn"):
+            # best/worst writers re-predict individual samples (reference :226-364)
+            writer.set_predict_fn(lambda imgs: np.asarray(predict_fn(params, jnp.asarray(imgs))))
         outputs = []
         for i, batch in enumerate(loader):
             if i >= n:
