@@ -40,7 +40,7 @@ def _image_from_mask(mask, rng, n_classes=N_CLASSES):
 def _depth_from_angles(theta, phi, mask):
     """Metric depths: smooth in theta, inf at background class (reference maps
     background/zero depths to inf, hp_depth_datasets.py:90-108)."""
-    d = 2.0 + 50.0 * (theta / max(theta.max(), 1e-6)) + 5.0 * np.cos(2 * phi)
+    d = 8.0 + 50.0 * (theta / max(theta.max(), 1e-6)) + 5.0 * np.cos(2 * phi)
     d = d.astype(np.float32)
     d[mask == 0] = np.inf
     return d

@@ -43,13 +43,16 @@ def make_cal_info(name: str, W: int, H: int, k_scale: float):
     }
 
 
-def generate(root, version="woodscape", n_per_cam=3, W=96, H=80, seed=0):
-    """Write a fake WoodScape tree under root/version; returns the version dir."""
+def generate(root, version="woodscape", n_per_cam=3, W=96, H=80, seed=0, with_depth=False):
+    """Write a fake WoodScape tree under root/version; returns the version dir.
+    ``with_depth=True`` also writes SynWoodScape-style depth maps
+    (depth_maps/raw_data/*.npy, float32 metric depths, 1000 = background/sky)."""
     base = Path(root) / version
     img_dir = base / "rgb_images" / "rgb_images"
     mask_dir = base / "semantic_annotations" / "semantic_annotations" / "gtLabels"
     cal_dir = base / "calibration" / "calibration"
-    for d in [img_dir, mask_dir, cal_dir]:
+    depth_dir = base / "depth_maps" / "raw_data"
+    for d in [img_dir, mask_dir, cal_dir] + ([depth_dir] if with_depth else []):
         d.mkdir(parents=True, exist_ok=True)
 
     with open(base / "semantic_annotations" / "seg_annotation_info.json", "w") as f:
@@ -84,4 +87,8 @@ def generate(root, version="woodscape", n_per_cam=3, W=96, H=80, seed=0):
             Image.fromarray(mask, mode="L").save(mask_dir / f"{name}.png")
             with open(cal_dir / f"{name}.json", "w") as f:
                 json.dump(cal, f)
+            if with_depth:
+                depth = (6.0 + 40.0 * r / max(H, W) + 3.0 * np.cos(ang + i)).astype(np.float32)
+                depth[mask == 3] = 1000.0  # sky/background convention
+                np.save(depth_dir / f"{name}.npy", depth)
     return base

@@ -1,0 +1,308 @@
+"""Flat depth prediction writers
+(reference heal_swin/evaluation/flat_depth_pred_writers.py).
+
+Predictions arrive channels-last (B, H, W, C) with channel 0 = metric depths.
+Metric names: {mse,SILogE,iRMSE,RelAE,RelSE}_projected_to_hp and the chamfer suite."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from heal_swin_tpu.data import normalize_depth_data as ndd
+from heal_swin_tpu.evaluation import depth_metrics_np as dm
+from heal_swin_tpu.evaluation.flat_pred_writers import _WriterBase, _norm_prefix
+from heal_swin_tpu.evaluation.hp_depth_pred_writers import (
+    SMALL_RES,
+    _DepthMetricDict,
+    _resize_float,
+)
+from heal_swin_tpu.projection import fisheye
+from heal_swin_tpu.utils import depth_utils
+from heal_swin_tpu.utils import image as I
+
+
+def _cf(preds):
+    """(B, H, W, C) -> (B, C, H, W)."""
+    p = np.asarray(preds)
+    return p.transpose(0, 3, 1, 2) if p.ndim == 4 else p[:, None]
+
+
+class WoodscapeFlatDepthBasePredictionWriter(_WriterBase):
+    """Per-sample comparison figures with MSE in the filename."""
+
+    def __init__(self, output_dir=None, output_resolution=1.0, prefix="", part="val",
+                 data_transform=None, mask_background=False, normalize_data=None,
+                 run=None, **_ignore):
+        super().__init__(run=run)
+        self.output_dir = output_dir
+        self.resolution = output_resolution
+        self.part = part
+        self.data_transform = data_transform
+        self.mask_background = mask_background
+        self.normalize_data = normalize_data
+        self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
+        self.prefix = _norm_prefix(prefix)
+
+    def write_on_batch_end(self, preds, batch, batch_idx):
+        preds_cf = _cf(preds)
+        for pred, s2_mask, img, name in zip(
+            preds_cf, batch["s2_masks"], batch["imgs"], batch["names"]
+        ):
+            target_metric = np.asarray(
+                ndd.unnormalize_and_retransform(
+                    np.asarray(s2_mask), self.normalize_data, self.stats, self.data_transform
+                )
+            )
+            mse = dm.DepthMSE()(pred[None], target_metric[None])
+            if self.output_dir is not None:
+                path = os.path.join(
+                    self.output_dir, f"{self.prefix}{self.part}_{name}_mse={mse:.2f}.png"
+                )
+                pred_r = _resize_float(pred[0][None], self.resolution)[0]
+                tgt_r = _resize_float(target_metric[None].astype(np.float64), self.resolution)[0]
+                img_r = _resize_float(np.asarray(img, dtype=np.float64), self.resolution,
+                                      "bilinear")
+                depth_utils.save_depth_pred_comparison_image(pred_r, tgt_r, img_r, path,
+                                                             title=name)
+
+
+class WoodscapeFlatDepthValOnHPProjectedPredictionWriter(_WriterBase):
+    """Project flat depth predictions onto the HP grid, score against the HP depth
+    targets in metric space -> {metric}_projected_to_hp (reference :120-253).
+
+    Divergence from the reference noted: the reference re-applies
+    transform_and_normalize to the already-network-space hp_masks (double transform,
+    identity only in the default None/None config); we compare in metric space."""
+
+    def __init__(self, output_dir=None, part="val", prefix="", rotate_pole=False,
+                 nside=256, base_pix=8, orig_size=None, padding=(0, 0, 0, 0),
+                 data_transform=None, mask_background=False, normalize_data=None,
+                 run=None, **_ignore):
+        super().__init__(run=run)
+        self.rotate_pole = rotate_pole
+        self.nside = nside
+        self.base_pix = base_pix
+        self.part = part
+        self.orig_size = orig_size
+        self.padding = padding
+        self.data_transform = data_transform
+        self.mask_background = mask_background
+        self.normalize_data = normalize_data
+        self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
+        self.metric_dict = _DepthMetricDict(data_transform, mask_background)
+        self.prefix = _norm_prefix(prefix)
+        self.theta, self.phi = fisheye.hp_grid_angles(nside, base_pix)
+
+    def _undo_transforms(self, pred):
+        left, top, right, bottom = self.padding
+        if any(self.padding):
+            H, W = pred.shape[-2:]
+            pred = pred[..., top : H - bottom or None, left : W - right or None]
+        if self.orig_size is not None and tuple(self.orig_size) != pred.shape[-2:]:
+            pred = I.resize_nearest(pred, tuple(self.orig_size))
+        return pred
+
+    def write_on_batch_end(self, preds, batch, batch_idx):
+        preds_cf = _cf(preds)
+        hp_preds = []
+        for pred, hp_mask, cal_info in zip(preds_cf, batch["hp_masks"], batch["cal_infos"]):
+            flat_pred = self._undo_transforms(pred[0])
+            u, v = fisheye.project_s2_points_to_img(
+                self.theta, self.phi, cal_info, self.rotate_pole
+            )
+            # nearest sampling with nan background (the depth variant of sample_mask
+            # keeps float32, project_depth_on_s2.py:80-85)
+            u_int = np.around(v, 0).astype(int)
+            v_int = np.around(u, 0).astype(int)
+            inb = (
+                (0 <= u_int) & (u_int < flat_pred.shape[0])
+                & (0 <= v_int) & (v_int < flat_pred.shape[1])
+            )
+            hp_pred = np.full(u.shape, np.nan)
+            hp_pred[inb] = flat_pred[u_int[inb], v_int[inb]]
+            hp_preds.append(hp_pred)
+            hp_mask_metric = np.asarray(
+                ndd.unnormalize_and_retransform(
+                    np.asarray(hp_mask), self.normalize_data, self.stats, self.data_transform
+                )
+            )
+            self.metric_dict.update(hp_pred[None, None], hp_mask_metric[None])
+        return np.stack(hp_preds), batch["hp_masks"]
+
+    def on_predict_epoch_end(self):
+        pref = f"{self.prefix}{self.part}"
+        self.log_metrics(self.metric_dict.computed(pref, "projected_to_hp"))
+
+
+class WoodscapeFlatDepthBestWorstPredictionWriter(_WriterBase):
+    """Rank by per-sample MSE; save comparison figures (reference :256-460)."""
+
+    def __init__(self, output_dir=None, output_resolution=1.0, prefix="", part="val",
+                 top_k=5, ranking_metric="mse", sort_dir="asc", pred_dataset=None,
+                 data_transform=None, mask_background=False, normalize_data=None,
+                 run=None, **_ignore):
+        super().__init__(run=run)
+        self.output_dir = output_dir
+        self.resolution = output_resolution
+        self.part = part
+        self.top_k = top_k
+        self.pred_dataset = pred_dataset
+        self.data_transform = data_transform
+        self.mask_background = mask_background
+        self.normalize_data = normalize_data
+        self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
+        self.metric_name = "mse"
+        self.sort_dir = sort_dir
+        self.metric_values = []
+        self.names = []
+        self.prefix = _norm_prefix(prefix)
+
+    def write_on_batch_end(self, preds, batch, batch_idx):
+        preds_cf = _cf(preds)
+        for pred, s2_mask, name in zip(preds_cf, batch["s2_masks"], batch["names"]):
+            target_metric = np.asarray(
+                ndd.unnormalize_and_retransform(
+                    np.asarray(s2_mask), self.normalize_data, self.stats, self.data_transform
+                )
+            )
+            self.metric_values.append(float(dm.DepthMSE()(pred[None], target_metric[None])))
+            self.names.append(name)
+
+    def on_predict_epoch_end(self):
+        values = np.array(self.metric_values)
+        names = np.array(self.names)
+        order = np.argsort(values)
+        if self.sort_dir == "desc":
+            order = order[::-1]
+        groups = {"top": names[order[: self.top_k]], "bottom": names[order[-self.top_k:]][::-1]}
+        for top_bottom, group in groups.items():
+            for idx, name in enumerate(group):
+                sample = None
+                for si in range(len(self.pred_dataset)):
+                    s = self.pred_dataset[si]
+                    if s["names"] == name:
+                        sample = s
+                        break
+                if sample is None or self._predict_fn is None:
+                    continue
+                pred = _cf(self._predict_fn(np.asarray(sample["s2_imgs"])[None]))[0]
+                target_metric = np.asarray(
+                    ndd.unnormalize_and_retransform(
+                        np.asarray(sample["s2_masks"]), self.normalize_data, self.stats,
+                        self.data_transform,
+                    )
+                )
+                mse = dm.DepthMSE()(pred[None], target_metric[None])
+                if self.output_dir is not None:
+                    img_cf = np.asarray(sample["s2_imgs"]).transpose(2, 0, 1)
+                    path = os.path.join(
+                        self.output_dir,
+                        f"{self.prefix}{self.part}_{top_bottom}_{idx + 1}_{name}"
+                        f"_mse={mse:.2f}.png",
+                    )
+                    depth_utils.save_depth_pred_comparison_image(
+                        pred[0], target_metric, img_cf, path, title=name
+                    )
+
+
+class WoodscapeFlatDepthChamferDistBestWorstPredictionWriter(_WriterBase):
+    """Chamfer suite for the flat model (reference :463-905): predictions are flat
+    depth maps, the 4 cumulative variants mirror the HP writer."""
+
+    def __init__(self, output_dir=None, rotate_pole=False, prefix="", nside=256,
+                 base_pix=8, part="val", top_k=2, ranking_metric="chamfer_distance",
+                 sort_dir="desc", pred_dataset=None, data_transform=None,
+                 mask_background=False, normalize_data=None, orig_size=None,
+                 padding=(0, 0, 0, 0), interpolation_mode="nearest", run=None, **_ignore):
+        super().__init__(run=run)
+        self.output_dir = output_dir
+        self.rotate_pole = rotate_pole
+        self.nside = nside
+        self.base_pix = base_pix
+        self.part = part
+        self.top_k = top_k
+        self.pred_dataset = pred_dataset
+        self.data_transform = data_transform
+        self.mask_background = mask_background
+        self.normalize_data = normalize_data
+        self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
+        self.interpolation_mode = interpolation_mode
+        self.orig_size = orig_size
+        self.padding = padding
+        self.metrics = {
+            "chamfer_distance": dm.ChamferDistance(),
+            "chamfer_distance_full_res": dm.ChamferDistance(),
+            "chamfer_distance_full_res_hp_masked": dm.ChamferDistance(),
+            "chamfer_distance_small_res_hp_masked": dm.ChamferDistance(),
+        }
+        if ranking_metric not in self.metrics:  # eval configs default to seg metrics
+            ranking_metric = "chamfer_distance"
+        self.metric_name = ranking_metric
+        self.sort_dir = sort_dir
+        self.metric_values = []
+        self.names = []
+        self.prefix = _norm_prefix(prefix)
+
+    def _foreground(self, x):
+        if not self.mask_background:
+            return None
+        return depth_utils.get_foreground_mask(
+            x, background_val=(float("nan"), float("inf"), 1000)
+        )
+
+    def write_on_batch_end(self, preds, batch, batch_idx):
+        preds_cf = _cf(preds)
+        for pred, s2_mask, name, cal_info, full_res_mask in zip(
+            preds_cf, batch["s2_masks"], batch["names"], batch["cal_infos"], batch["masks"]
+        ):
+            target_metric = np.asarray(
+                ndd.unnormalize_and_retransform(
+                    np.asarray(s2_mask), self.normalize_data, self.stats, self.data_transform
+                )
+            ).copy()
+            target_metric[np.isinf(target_metric)] = np.nan
+            pred_b = pred[None]
+            target_b = target_metric[None]
+            full_res_mask = np.asarray(full_res_mask, dtype=np.float64)[None]
+
+            fg = self._foreground(target_b)
+            full_fg = self._foreground(full_res_mask)
+
+            kwargs = dict(nside=self.nside, base_pix=self.base_pix,
+                          rotate_pole=self.rotate_pole)
+            value = dm.ChamferDistance().update(
+                pred_b, target_b, cal_info, hp_data=False, foreground_pix=fg, **kwargs
+            )
+            self.metrics["chamfer_distance"].update(
+                pred_b, target_b, cal_info, hp_data=False, foreground_pix=fg, **kwargs
+            )
+            self.metrics["chamfer_distance_full_res"].update(
+                pred_b, full_res_mask, cal_info, hp_data=(False, False),
+                foreground_pix=(fg, full_fg), **kwargs,
+            )
+            hp_masked_full = depth_utils.mask_flat_with_hp_cutout(
+                full_res_mask.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
+                rotate_pole=self.rotate_pole, masking_val=float("nan"),
+            )
+            self.metrics["chamfer_distance_full_res_hp_masked"].update(
+                pred_b, hp_masked_full, cal_info, hp_data=(False, False),
+                foreground_pix=(fg, self._foreground(hp_masked_full)), **kwargs,
+            )
+            small = _resize_float(full_res_mask, SMALL_RES, self.interpolation_mode)
+            hp_masked_small = depth_utils.mask_flat_with_hp_cutout(
+                small.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
+                rotate_pole=self.rotate_pole, masking_val=float("nan"),
+            )
+            self.metrics["chamfer_distance_small_res_hp_masked"].update(
+                pred_b, hp_masked_small, cal_info, hp_data=(False, False),
+                foreground_pix=(fg, self._foreground(hp_masked_small)), **kwargs,
+            )
+            self.metric_values.append(float(value))
+            self.names.append(name)
+
+    def on_predict_epoch_end(self):
+        self.log_metrics(
+            {f"{self.prefix}{k}": float(v.compute()) for k, v in self.metrics.items()}
+        )

@@ -111,9 +111,8 @@ def depth_state_init() -> Dict[str, jnp.ndarray]:
     return {
         "sq_err": z, "abs_err": z, "count": z,
         "sq_rel_ref": z, "abs_rel_ref": z,      # vs dataset-mean predictor
-        "inv_sq_err": z,                         # (1/km) errors for iRMSE
-        "silog_d": z, "silog_d2": z,            # sum of log diffs and squares
-        "sq_err_mean_pred": z,                   # MeanSTD support
+        "inv_sq_err": z, "inv_count": z,         # (1/km) errors for iRMSE
+        "silog_d": z, "silog_d2": z, "silog_count": z,
     }
 
 
@@ -137,31 +136,34 @@ def depth_state_update(state, pred, target, dataset_mean: Optional[float] = None
         dm = dataset_mean - t
         out["sq_rel_ref"] = state["sq_rel_ref"] + jnp.sum(jnp.where(valid, dm * dm, 0.0))
         out["abs_rel_ref"] = state["abs_rel_ref"] + jnp.sum(jnp.where(valid, jnp.abs(dm), 0.0))
-    # iRMSE in 1/km (reference custom_metrics.py:170-205): 1/depth_km = 1000/depth_m
-    inv_valid = valid & (t > 0) & (p > 0)
-    inv_d = 1000.0 / jnp.where(inv_valid, p, 1.0) - 1000.0 / jnp.where(inv_valid, t, 1.0)
+    # iRMSE (reference custom_metrics.py:170-205): invert to 1/km FIRST, then filter
+    # non-finite inverses (so zero depths drop out)
+    inv_p = 1.0 / (0.001 * jnp.where(p != 0, p, 1.0))
+    inv_t = 1.0 / (0.001 * jnp.where(t != 0, t, 1.0))
+    inv_valid = valid & (p != 0) & (t != 0) & jnp.isfinite(inv_p) & jnp.isfinite(inv_t)
+    inv_d = inv_p - inv_t
     out["inv_sq_err"] = state["inv_sq_err"] + jnp.sum(jnp.where(inv_valid, inv_d * inv_d, 0.0))
-    # SILog (reference :429-468): d = log(pred) - log(target) over positive pairs
-    log_valid = inv_valid
-    ld = jnp.log(jnp.where(log_valid, p, 1.0)) - jnp.log(jnp.where(log_valid, t, 1.0))
+    out["inv_count"] = state.get("inv_count", 0.0) + jnp.sum(inv_valid.astype(jnp.float32))
+    # SILog (reference :429-468): d = log(target) - log(pred) over positive pairs;
+    # compute = mean(d^2) - mean(d)^2 (no sqrt, no x100 in the reference)
+    log_valid = valid & (p > 0) & (t > 0)
+    ld = jnp.log(jnp.where(log_valid, t, 1.0)) - jnp.log(jnp.where(log_valid, p, 1.0))
     out["silog_d"] = state["silog_d"] + jnp.sum(jnp.where(log_valid, ld, 0.0))
     out["silog_d2"] = state["silog_d2"] + jnp.sum(jnp.where(log_valid, ld * ld, 0.0))
+    out["silog_count"] = state.get("silog_count", 0.0) + jnp.sum(log_valid.astype(jnp.float32))
     return out
 
 
 def depth_state_compute(state, prefix: str) -> Dict[str, float]:
     n = float(np.maximum(np.asarray(state["count"]), 1.0))
-    mse_v = float(state["sq_err"]) / n
+    n_inv = float(np.maximum(np.asarray(state["inv_count"]), 1.0))
+    n_log = float(np.maximum(np.asarray(state["silog_count"]), 1.0))
     out = {
-        f"{prefix}mse": mse_v,
+        f"{prefix}mse": float(state["sq_err"]) / n,
         f"{prefix}mae": float(state["abs_err"]) / n,
-        f"{prefix}iRMSE": float(np.sqrt(float(state["inv_sq_err"]) / n)),
-        f"{prefix}SILogE": float(
-            np.sqrt(
-                max(float(state["silog_d2"]) / n - (float(state["silog_d"]) / n) ** 2, 0.0)
-            )
-            * 100.0
-        ),
+        f"{prefix}iRMSE": float(np.sqrt(float(state["inv_sq_err"]) / n_inv)),
+        f"{prefix}SILogE": float(state["silog_d2"]) / n_log
+        - (float(state["silog_d"]) / n_log) ** 2,
     }
     if float(state["sq_rel_ref"]) > 0:
         out[f"{prefix}RelSE"] = float(state["sq_err"]) / float(state["sq_rel_ref"])

@@ -146,11 +146,16 @@ def _project_s2_points_to_img_cached(theta_b, phi_b, shape, ar, cx, cy, width, h
     return u, v
 
 
-def project_s2_points_to_img(theta, phi, cal_info, rotate_pole):
-    """(theta, phi) on the sphere -> float pixel coordinates (u, v)."""
+def project_s2_points_to_img(theta, phi, cal_info, rotate_pole, used_size=None):
+    """(theta, phi) on the sphere -> float pixel coordinates (u, v).
+
+    ``used_size=(H, W)`` replaces the calibration dims in the center offset — the
+    depth variant's semantics (reference project_depth_on_s2.py:140-173)."""
     if rotate_pole:
         theta, phi = rot_grid(theta, phi, cal_info, inv=False)
     ar, cx, cy, width, height, ks = _intrinsics(cal_info)
+    if used_size is not None:
+        height, width = int(used_size[0]), int(used_size[1])
     theta = np.ascontiguousarray(theta, dtype=np.float64)
     phi = np.ascontiguousarray(phi, dtype=np.float64)
     return _project_s2_points_to_img_cached(
@@ -169,9 +174,14 @@ def _poly(ks):
 
 
 @functools.lru_cache(maxsize=23)
-def _project_img_points_to_s2_cached(u_b, v_b, shape, ar, cx, cy, width, height, ks):
+def _project_img_points_to_s2_cached(u_b, v_b, shape, ar, cx, cy, width, height, ks,
+                                     def_width=None, def_height=None):
     u = np.frombuffer(u_b).reshape(shape).copy()
     v = np.frombuffer(v_b).reshape(shape).copy()
+    if def_width is not None:  # depth used_size semantics: rescale to original dims
+        u = u * def_width / width
+        v = v * def_height / height
+        width, height = def_width, def_height
     u = u - cx - width / 2 + 0.5
     v = (v - cy - height / 2 + 0.5) / ar
     rho = np.sqrt(u**2 + v**2)
@@ -192,14 +202,23 @@ def _project_img_points_to_s2_cached(u_b, v_b, shape, ar, cx, cy, width, height,
     return theta, phi
 
 
-def project_img_points_to_s2(u, v, cal_info, rotate_pole):
-    """Float pixel coordinates -> (theta, phi) on the sphere."""
+def project_img_points_to_s2(u, v, cal_info, rotate_pole, used_size=None):
+    """Float pixel coordinates -> (theta, phi) on the sphere.
+
+    ``used_size=(H, W)``: the coordinates live on a resized image; rescale to the
+    calibration's native dims first (reference project_depth_on_s2.py:176-258)."""
     ar, cx, cy, width, height, ks = _intrinsics(cal_info)
     u = np.ascontiguousarray(u, dtype=np.float64)
     v = np.ascontiguousarray(v, dtype=np.float64)
-    theta, phi = _project_img_points_to_s2_cached(
-        u.tobytes(), v.tobytes(), u.shape, ar, cx, cy, width, height, ks
-    )
+    if used_size is None:
+        theta, phi = _project_img_points_to_s2_cached(
+            u.tobytes(), v.tobytes(), u.shape, ar, cx, cy, width, height, ks
+        )
+    else:
+        theta, phi = _project_img_points_to_s2_cached(
+            u.tobytes(), v.tobytes(), u.shape, ar, cx, cy,
+            int(used_size[1]), int(used_size[0]), ks, width, height,
+        )
     if rotate_pole:
         theta, phi = rot_grid(theta, phi, cal_info, inv=True)
     return theta, phi
@@ -273,6 +292,22 @@ def project_hp_mask_back(
     full[: hp_mask.shape[0]] = hp_mask
     nearest = hp_nearest_pix_idcs(theta, phi, nside)
     return full[nearest].astype(np.uint8)
+
+
+def project_hp_depth_back(
+    hp_mask, cal_info, output_resolution, rotate_pole, nside, base_pix, s2_bkgd_class
+):
+    """Float (depth) HP map -> flat map via bilinear HP interpolation, background fill
+    (reference project_depth_hp_mask_back, project_depth_on_s2.py:370-386).
+    Returns shape (1, Hout, Wout)."""
+    width = cal_info["intrinsic"]["width"]
+    height = cal_info["intrinsic"]["height"]
+    u, v = get_uv_from_hw(height, width, output_resolution)
+    theta, phi = project_img_points_to_s2(u, v, cal_info, rotate_pole)
+
+    full = np.full((hp_mask.shape[0] * 12 // base_pix,), s2_bkgd_class, dtype=np.float32)
+    full[: hp_mask.shape[0]] = hp_mask
+    return np.array([hpx.get_interp_val(full, theta, phi, nest=True)])
 
 
 def hp_grid_angles(nside: int, base_pix: int):
