@@ -208,14 +208,31 @@ def ring2xyf(nside: int, pix):
     return x, y, face
 
 
+_NATIVE_MIN_SIZE = 2048  # below this, ctypes overhead beats the C++ speedup
+
+
+def _native():
+    from heal_swin_tpu.ops import native
+
+    return native.get_lib() and native
+
+
 def nest2ring(nside: int, pix):
     assert isnsideok(nside), "nest scheme requires power-of-two nside"
+    pix = np.asarray(pix, dtype=np.int64)
+    nat = pix.size >= _NATIVE_MIN_SIZE and _native()
+    if nat:
+        return nat.nest2ring(nside, pix)
     x, y, f = nest2xyf(nside, pix)
     return xyf2ring(nside, x, y, f)
 
 
 def ring2nest(nside: int, pix):
     assert isnsideok(nside), "nest scheme requires power-of-two nside"
+    pix = np.asarray(pix, dtype=np.int64)
+    nat = pix.size >= _NATIVE_MIN_SIZE and _native()
+    if nat:
+        return nat.ring2nest(nside, pix)
     x, y, f = ring2xyf(nside, pix)
     return xyf2nest(nside, x, y, f)
 
@@ -252,12 +269,16 @@ def _xyf2loc(nside: int, x, y, face):
 def pix2ang(nside: int, pix, nest: bool = False, lonlat: bool = False):
     """Pixel index -> (theta, phi) of pixel center (colatitude, longitude)."""
     pix = np.asarray(pix, dtype=np.int64)
-    if nest:
-        x, y, f = nest2xyf(nside, pix)
+    nat = pix.size >= _NATIVE_MIN_SIZE and _native()
+    if nat:
+        theta, phi = nat.pix2ang(nside, pix, nest)
     else:
-        x, y, f = ring2xyf(nside, pix)
-    z, phi = _xyf2loc(nside, x, y, f)
-    theta = np.arccos(np.clip(z, -1.0, 1.0))
+        if nest:
+            x, y, f = nest2xyf(nside, pix)
+        else:
+            x, y, f = ring2xyf(nside, pix)
+        z, phi = _xyf2loc(nside, x, y, f)
+        theta = np.arccos(np.clip(z, -1.0, 1.0))
     if lonlat:
         return np.degrees(phi), 90.0 - np.degrees(theta)
     return theta, phi
@@ -327,6 +348,9 @@ def _loc2xyf(nside: int, z, phi):
 def ang2pix(nside: int, theta, phi, nest: bool = False):
     theta = np.asarray(theta, dtype=np.float64)
     phi = np.asarray(phi, dtype=np.float64)
+    nat = theta.size >= _NATIVE_MIN_SIZE and _native()
+    if nat:
+        return nat.ang2pix(nside, theta, phi, nest)
     z = np.cos(theta)
     x, y, f = _loc2xyf(nside, z, phi)
     if nest:
@@ -404,6 +428,9 @@ def get_interp_weights(nside: int, theta, phi, nest: bool = False):
     theta = np.atleast_1d(np.asarray(theta, dtype=np.float64))
     phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
     npix = nside2npix(nside)
+    nat = theta.size >= _NATIVE_MIN_SIZE and _native()
+    if nat:
+        return nat.get_interp_weights(nside, theta, phi, nest)
     z = np.cos(theta)
 
     ir1 = _ring_above(nside, z)
