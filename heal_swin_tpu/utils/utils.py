@@ -36,6 +36,16 @@ def get_datasets_path() -> Path:
     return Path(os.environ.get("HEAL_SWIN_DATA_ROOT", "datasets")).absolute()
 
 
+def load_config(run_id: str, config_name: str):
+    """Dill-load a saved config object from a run's artifacts
+    (reference utils.load_config, utils.py:201-206)."""
+    from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+    from heal_swin_tpu.utils import serialize
+
+    store = MlflowFileStore(get_mlruns_path())
+    return serialize.load(store.find_artifacts_dir(run_id) / config_name)
+
+
 def check_and_get_ckpt_paths(path_or_run_id: str, epoch: Optional[str] = "best",
                              epoch_number: Optional[str] = None):
     """Resolve (ckpt_path, artifacts_dir, run_id|None) from an MLflow run id or an
