@@ -70,6 +70,9 @@ def evaluate(eval_config: EvaluateConfig, pl_config: PLConfig, config_path: str 
     trainer = Trainer(pl_config, eval_config.train_config, run=run)
     params = jax.device_put(params, trainer.repl)
 
+    if eval_config.log_masked_iou:
+        _log_masked_iou(trainer, task, datamodule, params, metric_prefix, run)
+
     if eval_config.validate:
         # reference semantics: model.val_metrics_prefix prepends to the val_* names
         metrics = trainer.validate(task, datamodule, params, metrics_prefix=metric_prefix + "val_")
@@ -90,6 +93,31 @@ def evaluate(eval_config: EvaluateConfig, pl_config: PLConfig, config_path: str 
         trainer.predict(task, datamodule, params, writer=writer)
 
     print("Evaluation finished.")
+
+
+def _log_masked_iou(trainer, task, datamodule, params, metric_prefix, run):
+    """Masked (label != 0) IoU over the val set (reference ValMaskedIoULogger,
+    logging_callbacks.py:235-264): {prefix}val_masked_iou[_ignored]."""
+    import jax
+    import numpy as np
+
+    from heal_swin_tpu.evaluation import seg_metrics_np as m
+
+    predict_fn = jax.jit(task.predict)
+    iou = m.IoU(num_classes=task.num_classes, reduction="none")
+    for imgs, masks in datamodule.val_dataloader():
+        preds = np.asarray(predict_fn(params, np.asarray(imgs)))
+        masks = np.asarray(masks)
+        keep = masks != 0
+        iou.update(preds[keep], masks[keep])
+    ious = iou.compute()
+    metrics = {
+        f"{metric_prefix}val_masked_iou": float(np.mean(ious)),
+        f"{metric_prefix}val_masked_iou_ignored": float(np.mean(ious[1:])),
+    }
+    if run is not None:
+        run.log_metrics(metrics)
+    print(metrics)
 
 
 def main():

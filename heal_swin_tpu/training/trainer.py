@@ -94,6 +94,23 @@ class Trainer:
             s = (step if step is not None else self.global_step) + self.tc.logging_step_offset
             self.run.log_metrics(metrics, step=s)
 
+    def _device_memory_stats(self):
+        """Accelerator memory metrics (mlflow-safe names) — the TPU analogue of the
+        reference's MLFlowGPUStatsMonitor (logging_callbacks.py:218-232)."""
+        out = {}
+        for i, d in enumerate(self.devices):
+            try:
+                stats = d.memory_stats() or {}
+            except Exception:
+                continue
+            if "bytes_in_use" in stats:
+                out[f"device{i} memory.used in MB"] = stats["bytes_in_use"] / 2**20
+            if "peak_bytes_in_use" in stats:
+                out[f"device{i} memory.peak in MB"] = stats["peak_bytes_in_use"] / 2**20
+            if "bytes_limit" in stats:
+                out[f"device{i} memory.limit in MB"] = stats["bytes_limit"] / 2**20
+        return out
+
     def _put_batch(self, arrays):
         return jax.tree.map(
             lambda a: jax.device_put(jnp.asarray(a), self.batch_sharding), arrays
@@ -250,6 +267,8 @@ class Trainer:
             )
             opt_name = task.optimizer_config.optimizer_name
             train_metrics[f"lr-{opt_name}"] = get_learning_rate(opt_state)
+            if tc.log_gpu_stats:
+                train_metrics.update(self._device_memory_stats())
             self._log(train_metrics)
             last_metrics.update(train_metrics)
 

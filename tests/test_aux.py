@@ -1,0 +1,73 @@
+"""Auxiliary subsystems: HP map plotting, compute environment, masked-IoU eval flag,
+device memory stats."""
+
+import numpy as np
+
+
+def test_plot_healpy_img(tmp_path):
+    from heal_swin_tpu.ops import healpix as hpx
+    from heal_swin_tpu.utils import healpy_utils
+
+    nside = 8
+    npix = hpx.nside2npix(nside)
+    used = npix * 8 // 12
+    rgb = np.random.default_rng(0).integers(0, 255, (3, used)).astype(np.float64)
+    for proj in ["mollweide", "orthview"]:
+        p = tmp_path / f"{proj}.png"
+        healpy_utils.plot_healpy_img(rgb, npix, p, projection=proj, title=proj)
+        assert p.exists() and p.stat().st_size > 1000
+    # scalar map + the reference's alias name
+    scalar = np.arange(used, dtype=np.float64)
+    p = tmp_path / "scalar.png"
+    healpy_utils.plot_hp_img(scalar, npix, p, projection="orthview")
+    assert p.exists()
+
+
+def test_compute_environment(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("HEAL_SWIN_MLRUNS", str(tmp_path / "mlruns"))
+    import importlib
+
+    import heal_swin_tpu.compute_environment as ce
+
+    importlib.reload(ce)
+    ce.inform()
+    out = capsys.readouterr().out
+    assert "mlruns" in out
+    assert (tmp_path / "mlruns").is_dir()
+
+
+def test_device_memory_stats():
+    from heal_swin_tpu.training.train_config import PLConfig
+    from heal_swin_tpu.training.trainer import Trainer
+
+    t = Trainer(PLConfig())
+    stats = t._device_memory_stats()
+    assert isinstance(stats, dict)  # may be empty on CPU backends
+
+
+def test_masked_iou_eval(tmp_path, monkeypatch):
+    """evaluate(log_masked_iou=True) logs {prefix}val_masked_iou into the run."""
+    monkeypatch.setenv("HEAL_SWIN_MLRUNS", str(tmp_path / "mlruns"))
+    from heal_swin_tpu.data.data_config import WoodscapeCommonConfig, WoodscapeHPConfig
+    from heal_swin_tpu.evaluate import evaluate
+    from heal_swin_tpu.evaluation.evaluate_config import EvaluateConfig
+    from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+    from heal_swin_tpu.train import train_model
+    from heal_swin_tpu.training.train_config import PLConfig, TrainConfig
+    from heal_swin_tpu.utils.utils import get_config_from_config_path
+
+    cfg = "run_configs/swin_hp_test_run_config.py"
+    run_config = get_config_from_config_path(cfg, "get_train_run_config")
+    run_config.train.eval_after_train = False
+    pl_config = get_config_from_config_path(cfg, "get_pl_config")
+    run_id, _ = train_model(run_config, pl_config)
+
+    eval_config = EvaluateConfig(
+        path=run_id, epoch="best", validate=False, predict=False, log_masked_iou=True,
+        train_config=TrainConfig(mlflow_expmt="test_experiment"),
+        data_config=run_config.data,
+    )
+    evaluate(eval_config, PLConfig(limit_val_batches=1))
+    run = MlflowFileStore(tmp_path / "mlruns").get_run(run_id)
+    assert run.get_metric_history("evaluate_best_val_masked_iou")
+    assert run.get_metric_history("evaluate_best_val_masked_iou_ignored")
