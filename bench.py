@@ -72,19 +72,18 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup / compile
+    # warmup / compile.  NOTE: on the axon TPU client block_until_ready() does not
+    # reliably synchronize; fetching the value is the only dependable barrier.
     t0 = time.time()
     params, opt_state, loss = train_step(params, opt_state, x, y, jax.random.PRNGKey(1))
-    loss.block_until_ready()
     print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
           file=sys.stderr)
 
+    step_rng = jax.random.PRNGKey(2)  # created once: per-step host work adds tunnel latency
     t0 = time.time()
     for i in range(steps):
-        params, opt_state, loss = train_step(
-            params, opt_state, x, y, jax.random.PRNGKey(2 + i)
-        )
-    loss.block_until_ready()
+        params, opt_state, loss = train_step(params, opt_state, x, y, step_rng)
+    _ = float(loss)  # forces the full dependency chain
     dt = time.time() - t0
 
     images_per_sec = batch * steps / dt

@@ -51,11 +51,11 @@ def run(name, **kw):
         return optax.apply_updates(params, updates), opt_state, loss
 
     params, opt_state, loss = step(params, opt_state, x, y)
-    loss.block_until_ready()
+    _ = float(loss)
     t0 = time.time()
     for _ in range(STEPS):
         params, opt_state, loss = step(params, opt_state, x, y)
-    loss.block_until_ready()
+    _ = float(loss)  # axon: block_until_ready does not synchronize; fetch does
     dt = time.time() - t0
     print(json.dumps({"variant": name, "img_per_s": round(BATCH * STEPS / dt, 2),
                       "ms_per_step": round(1000 * dt / STEPS, 1)}), flush=True)

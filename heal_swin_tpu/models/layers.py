@@ -41,16 +41,39 @@ def dense(features: int, use_bias: bool = True, dtype: Optional[Dtype] = None, n
     )
 
 
+class _FusedLN(nn.Module):
+    """Inner LN (param paths match the previous flax LayerNorm submodule 'ln')."""
+
+    epsilon: float
+    out_dtype: Optional[Dtype]
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.out_dtype or x.dtype)
+
+
 class LayerNorm(nn.Module):
-    """LayerNorm with torch defaults (eps=1e-5), computed in float32."""
+    """LayerNorm with torch defaults (eps=1e-5); statistics in float32.
+
+    Written so XLA fuses the f32 upcast into the reductions and the normalize into the
+    surrounding elementwise chain — wrapping flax LayerNorm with dtype=float32
+    materialized an f32 copy of the full activation (805 MB at paper scale) plus a
+    layout copy per call."""
 
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="ln")(x)
-        return y.astype(self.dtype or x.dtype)
+        return _FusedLN(epsilon=self.epsilon, out_dtype=self.dtype, name="ln")(x)
 
 
 class DropPath(nn.Module):
@@ -111,7 +134,41 @@ class WindowAttention(nn.Module):
     rel_pos_index: Optional[np.ndarray] = None
     rel_pos_table_size: int = 0
     rel_pos_init_zero: bool = True
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
     dtype: Optional[Dtype] = None
+
+    def _pallas_wblk(self, n_windows: int, ws: int, C: int) -> Optional[int]:
+        """Largest block size that is lane-aligned, divides the window count, and fits
+        the ~16 MB scoped VMEM (double-buffered qkv/out blocks + f32 score temps +
+        the full rel-pos bias)."""
+        h = self.num_heads
+        for w in (16, 8, 4, 2):
+            if n_windows % w != 0 or (w * ws) % 128 != 0:
+                continue
+            n = w * ws
+            est = 2 * (n * 3 * C * 2) + 2 * (n * C * 2) + h * ws * ws * 4 + 3 * n * n * 4
+            if est < 12 * 2**20:
+                return w
+        return None
+
+    def _resolve_impl(self, B, nW, ws, C, deterministic) -> str:
+        if self.attention_impl == "xla":
+            return "xla"
+        dropout_active = self.attn_drop > 0.0 and not deterministic
+        wblk = self._pallas_wblk(B * nW, ws, C)
+        ok = (
+            jax.default_backend() == "tpu"
+            and wblk is not None
+            and C % self.num_heads == 0
+            and not dropout_active
+        )
+        if self.attention_impl == "pallas" and not ok:
+            raise ValueError(
+                "attention_impl='pallas' unsupported here: requires TPU backend, "
+                f"(B*nW={B * nW}, ws={ws}) blockable to 128 lanes, and inactive "
+                "attention dropout"
+            )
+        return "pallas" if ok else "xla"
 
     @nn.compact
     def __call__(self, x, win_groups=None, deterministic: bool = True):
@@ -121,47 +178,81 @@ class WindowAttention(nn.Module):
         assert h * hd == C, f"dim {C} not divisible by num_heads {h}"
 
         qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, nW, ws, 3, h, hd)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
+        # shared parameters (identical tree in both implementations)
+        logit_scale = None
         if self.use_cos_attn:
-            q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-12).astype(q.dtype)
-            k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-12).astype(k.dtype)
-            attn = jnp.einsum("bwihd,bwjhd->bwhij", q, k, preferred_element_type=jnp.float32)
             logit_scale = self.param(
                 "logit_scale", lambda rng: jnp.log(10.0 * jnp.ones((h, 1, 1), jnp.float32))
             )
-            logit_scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
-            attn = attn * logit_scale[None, None]
-        else:
-            scale = self.qk_scale if self.qk_scale is not None else hd**-0.5
-            attn = jnp.einsum("bwihd,bwjhd->bwhij", q * scale, k, preferred_element_type=jnp.float32)
-
+        rel_bias = None  # (h, ws, ws) f32
         if self.rel_pos_index is not None:
-            init = (
-                nn.initializers.zeros if self.rel_pos_init_zero else trunc_normal_init
-            )
+            init = nn.initializers.zeros if self.rel_pos_init_zero else trunc_normal_init
             table = self.param(
-                "relative_position_bias_table",
-                init,
-                (self.rel_pos_table_size, h),
+                "relative_position_bias_table", init, (self.rel_pos_table_size, h),
                 jnp.float32,
             )
             idx = jnp.asarray(self.rel_pos_index)  # (ws, ws)
-            bias = table[idx]  # (ws, ws, h)
-            attn = attn + jnp.transpose(bias, (2, 0, 1))[None, None]
+            rel_bias = jnp.transpose(table[idx], (2, 0, 1))
 
-        if win_groups is not None:
-            g = jnp.asarray(win_groups)  # (nW, ws)
-            mask = jnp.where(g[:, :, None] != g[:, None, :], MASK_VALUE, 0.0)
-            attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+        if self._resolve_impl(B, nW, ws, C, deterministic) == "pallas":
+            from heal_swin_tpu.ops.window_attention import fused_window_attention
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.astype(self.dtype or x.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            ls = (
+                jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01))).reshape(h)
+                if logit_scale is not None
+                else None
+            )
+            if win_groups is not None:
+                groups = jnp.tile(jnp.asarray(win_groups, dtype=jnp.int32), (B, 1))
+                has_mask = True
+            else:
+                groups = jnp.zeros((B * nW, ws), jnp.int32)
+                has_mask = False
+            scale = self.qk_scale if self.qk_scale is not None else hd**-0.5
+            out = fused_window_attention(
+                qkv.reshape(B * nW * ws, 3 * C), groups, rel_bias, ls,
+                ws=ws, num_heads=h, use_cos=self.use_cos_attn, sm_scale=float(scale),
+                has_mask=has_mask, wblk=self._pallas_wblk(B * nW, ws, C),
+            )
+            out = out.reshape(B, nW, ws, C)
+        else:
+            qkv = qkv.reshape(B, nW, ws, 3, h, hd)
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
-        out = jnp.einsum("bwhij,bwjhd->bwihd", attn, v)
-        out = out.reshape(B, nW, ws, C)
+            if self.use_cos_attn:
+                q = q / jnp.maximum(
+                    jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+                ).astype(q.dtype)
+                k = k / jnp.maximum(
+                    jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+                ).astype(k.dtype)
+                attn = jnp.einsum(
+                    "bwihd,bwjhd->bwhij", q, k, preferred_element_type=jnp.float32
+                )
+                ls = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
+                attn = attn * ls[None, None]
+            else:
+                scale = self.qk_scale if self.qk_scale is not None else hd**-0.5
+                attn = jnp.einsum(
+                    "bwihd,bwjhd->bwhij", q * scale, k, preferred_element_type=jnp.float32
+                )
+
+            if rel_bias is not None:
+                attn = attn + rel_bias[None, None]
+
+            if win_groups is not None:
+                g = jnp.asarray(win_groups)  # (nW, ws)
+                mask = jnp.where(g[:, :, None] != g[:, None, :], MASK_VALUE, 0.0)
+                attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            attn = attn.astype(self.dtype or x.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+            out = jnp.einsum("bwhij,bwjhd->bwihd", attn, v)
+            out = out.reshape(B, nW, ws, C)
+
         out = dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out

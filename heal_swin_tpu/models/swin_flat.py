@@ -57,6 +57,7 @@ class SwinTransformerConfig:
     use_rel_pos_bias: bool = True
     dev_mode: bool = False
     dtype: Optional[str] = None  # TPU extension: compute dtype
+    attention_impl: str = "auto"  # TPU extension: "auto" | "xla" | "pallas"
 
     @property
     def compute_dtype(self):
@@ -137,6 +138,7 @@ class SwinBlock2D(nn.Module):
     use_v2_norm_placement: bool
     use_cos_attn: bool
     use_rel_pos_bias: bool
+    attention_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -177,6 +179,7 @@ class SwinBlock2D(nn.Module):
             rel_pos_index=rel_idx,
             rel_pos_table_size=(2 * wh - 1) * (2 * ww - 1),
             rel_pos_init_zero=False,  # flat model trunc-normals its table (ref :143)
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
         )(xw, win_groups=win_groups, deterministic=deterministic)
@@ -329,6 +332,7 @@ class SwinTransformerSys(nn.Module):
                         use_v2_norm_placement=cfg.use_v2_norm_placement,
                         use_cos_attn=cfg.use_cos_attn,
                         use_rel_pos_bias=cfg.use_rel_pos_bias,
+                        attention_impl=cfg.attention_impl,
                         dtype=dt,
                         name=f"{prefix}_block{i}",
                     )(x, deterministic)

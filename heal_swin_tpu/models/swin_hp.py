@@ -71,6 +71,7 @@ class SwinHPTransformerConfig:
     dev_mode: bool = False
     decoder_class: str = "UnetDecoder"
     dtype: Optional[str] = None  # TPU extension: compute dtype
+    attention_impl: str = "auto"  # TPU extension: "auto" | "xla" | "pallas"
 
     @property
     def compute_dtype(self):
@@ -117,6 +118,7 @@ class SwinHPBlock(nn.Module):
     drop_path: float
     use_v2_norm_placement: bool
     use_cos_attn: bool
+    attention_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -155,6 +157,7 @@ class SwinHPBlock(nn.Module):
             rel_pos_index=rel_idx,
             rel_pos_table_size=(2 * side - 1) ** 2,
             rel_pos_init_zero=True,  # reference quirk: HP rel-pos table stays zeros-init
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
         )(x, win_groups=spec.win_groups, deterministic=deterministic)
@@ -285,6 +288,7 @@ def _make_block(cfg: SwinHPTransformerConfig, base_pix, dim, input_resolution, n
         drop_path=drop_path,
         use_v2_norm_placement=cfg.use_v2_norm_placement,
         use_cos_attn=cfg.use_cos_attn,
+        attention_impl=cfg.attention_impl,
         dtype=cfg.compute_dtype,
         name=name,
     )

@@ -1,0 +1,339 @@
+"""Fused window multi-head self-attention (Pallas TPU kernel).
+
+The XLA path materializes the (B, nW, h, ws, ws) attention scores in f32 in HBM
+(plus layout copies around the qkv reshape) — ~1/3 of the train step at paper scale.
+This kernel keeps the whole window attention VMEM-resident: per grid step it loads a
+block of windows' fused qkv rows ((wblk*ws, 3C), exactly the dense layer's output
+layout — no reshape/transpose), computes per-head QK^T, adds the shift mask (derived
+in-kernel from integer group ids) and the relative-position bias, softmaxes in f32,
+applies AV and writes (wblk*ws, C).  Supports both attention flavors of the reference:
+scaled dot product and SWIN-v2 cosine attention with clamped logit scale
+(reference swin_hp_transformer.py:124-174).
+
+Backward: a second Pallas kernel (flash style) that saves only qkv/groups/bias from
+the forward, recomputes the softmax in VMEM and emits dqkv plus grid-accumulated
+dbias / dlogit_scale.  `reference_window_attention` is the identical jnp math, used as
+the numerical oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -100.0
+
+
+def reference_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads,
+                               use_cos, sm_scale, has_mask=True):
+    """Pure-jnp window attention on the kernel's operand layout.
+
+    qkv: (T, 3C) rows of fused q|k|v for T = B*nW*ws tokens (windows contiguous);
+    groups: (T//ws, ws) int32 mask group ids; bias: (h, ws, ws) f32 (ignored if all
+    zeros is desired — pass zeros); logit_scale: (h,) f32 (already exp(clamp(.))).
+    Returns (T, C)."""
+    T, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    hd = C // h
+    nw = T // ws
+    x = qkv.reshape(nw, ws, 3, h, hd)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (nw, ws, h, hd)
+    if use_cos:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q = qf * jax.lax.rsqrt(jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24))
+        k = kf * jax.lax.rsqrt(jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24))
+        s = jnp.einsum("wihd,wjhd->whij", q, k, preferred_element_type=jnp.float32)
+        s = s * logit_scale[None, :, None, None]
+    else:
+        s = jnp.einsum("wihd,wjhd->whij", q, k, preferred_element_type=jnp.float32)
+        s = s * sm_scale
+    s = s + bias[None]
+    if has_mask:
+        g = groups.astype(jnp.int32)
+        mask = jnp.where(g[:, :, None] != g[:, None, :], MASK_VALUE, 0.0)
+        s = s + mask[:, None]
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    o = jnp.einsum("whij,wjhd->wihd", p, v)
+    return o.reshape(T, C).astype(qkv.dtype)
+
+
+WINDOW_MASK = -1e30  # hard cross-window exclusion inside the block-diagonal batch
+
+
+def _fwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, out_ref, *, ws, C,
+                h, wblk, use_cos, has_bias, has_mask, sm_scale):
+    """Block-diagonal batching: all wblk windows of the grid step form one
+    (wblk*ws, wblk*ws) attention matrix per head (one MXU dot instead of wblk small
+    ones); cross-window entries are excluded with a -1e30 additive mask, so the math
+    per window is exact."""
+    hd = C // h
+    n = wblk * ws
+
+    bd_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // ws
+    bd_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // ws
+    base = jnp.where(bd_i == bd_j, 0.0, WINDOW_MASK).astype(jnp.float32)
+    if has_mask:
+        gc = gcol_ref[...]  # (n, 1)
+        gr = grow_ref[...]  # (1, n)
+        base = base + jnp.where(gc != gr, MASK_VALUE, 0.0)
+
+    for head in range(h):
+        q = qkv_ref[:, head * hd:(head + 1) * hd]
+        k = qkv_ref[:, C + head * hd:C + (head + 1) * hd]
+        v = qkv_ref[:, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        if use_cos:
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            qf = qf * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24)
+            )
+            kf = kf * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24)
+            )
+            # bf16 operands keep the MXU at full rate; accumulation stays f32
+            s = jax.lax.dot_general(
+                qf.astype(q.dtype), kf.astype(k.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale_ref[head, 0]
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * sm_scale
+        s = s + base
+        if has_bias:
+            s = s + jnp.tile(bias_ref[head], (wblk, wblk))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:, head * hd:(head + 1) * hd] = o.astype(out_ref.dtype)
+
+
+def _float0_like(x):
+    return jax.tree.map(lambda v: jnp.zeros(v.shape, dtype=jax.dtypes.float0), x)
+
+
+def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
+                dqkv_ref, dbias_ref, dls_ref, *, ws, C, h, wblk, use_cos, has_bias,
+                has_mask, sm_scale):
+    """Flash-style backward: recomputes the softmax from qkv in VMEM and produces
+    dqkv; dbias (h, ws, ws) and dlogit_scale (h, 1) accumulate across the sequential
+    grid into constant-index output blocks."""
+    hd = C // h
+    n = wblk * ws
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        for _hh in range(h):
+            dls_ref[_hh, 0] = 0.0
+
+    bd_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // ws
+    bd_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // ws
+    base = jnp.where(bd_i == bd_j, 0.0, WINDOW_MASK).astype(jnp.float32)
+    if has_mask:
+        gc = gcol_ref[...]
+        gr = grow_ref[...]
+        base = base + jnp.where(gc != gr, MASK_VALUE, 0.0)
+
+    for head in range(h):
+        q = qkv_ref[:, head * hd:(head + 1) * hd]
+        k = qkv_ref[:, C + head * hd:C + (head + 1) * hd]
+        v = qkv_ref[:, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        do = dout_ref[:, head * hd:(head + 1) * hd]
+
+        if use_cos:
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            inv_nq = jax.lax.rsqrt(jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24))
+            inv_nk = jax.lax.rsqrt(jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24))
+            qh = (qf * inv_nq).astype(q.dtype)
+            kh = (kf * inv_nk).astype(k.dtype)
+            s_hat = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s_hat * scale_ref[head, 0]
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * sm_scale
+        s = s + base
+        if has_bias:
+            s = s + jnp.tile(bias_ref[head], (wblk, wblk))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (n, n) f32; 0 cross-window
+
+        p_lo = p.astype(v.dtype)
+        # dV = P^T dO
+        dv = jax.lax.dot_general(
+            p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[:, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(dqkv_ref.dtype)
+        # dP = dO V^T
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        t = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - t)  # (n, n) f32; 0 cross-window
+
+        # dbias: sum the wblk diagonal (ws, ws) blocks of ds
+        acc = ds[0:ws, 0:ws]
+        for w in range(1, wblk):
+            acc = acc + ds[w * ws:(w + 1) * ws, w * ws:(w + 1) * ws]
+        if has_bias:
+            dbias_ref[head] += acc
+
+        ds_lo = ds.astype(q.dtype)
+        if use_cos:
+            dls_ref[head, 0] += jnp.sum(ds * s_hat)
+            dsh = ds * scale_ref[head, 0]
+            dsh_lo = dsh.astype(q.dtype)
+            dqh = jax.lax.dot_general(
+                dsh_lo, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dkh = jax.lax.dot_general(
+                dsh_lo, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            qhf = qf * inv_nq
+            khf = kf * inv_nk
+            dq = (dqh - qhf * jnp.sum(dqh * qhf, -1, keepdims=True)) * inv_nq
+            dk = (dkh - khf * jnp.sum(dkh * khf, -1, keepdims=True)) * inv_nk
+        else:
+            dq = jax.lax.dot_general(
+                ds_lo, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale
+            dk = jax.lax.dot_general(
+                ds_lo, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale
+        dqkv_ref[:, head * hd:(head + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, C + head * hd:C + (head + 1) * hd] = dk.astype(dqkv_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask: bool,
+                sm_scale: float, wblk: int, dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+
+    def pallas_fwd(qkv, groups, bias, logit_scale):
+        T = qkv.shape[0]
+        nw = T // ws
+        grid = (nw // wblk,)
+        kernel = functools.partial(
+            _fwd_kernel, ws=ws, C=C, h=h, wblk=wblk, use_cos=use_cos,
+            has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
+        )
+        scale_arr = logit_scale.reshape(h, 1).astype(jnp.float32)
+        gflat = groups.reshape(T // ws * ws).astype(jnp.int32)
+        gcol = gflat.reshape(T, 1)
+        grow = gflat.reshape(1, T)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((wblk * ws, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wblk * ws), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk * ws, 3 * C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((wblk * ws, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, C), dtype),
+            interpret=interpret,
+        )(gcol, grow, qkv, bias, scale_arr)
+
+    @jax.custom_vjp
+    def fused(qkv, groups, bias, logit_scale):
+        return pallas_fwd(qkv, groups, bias, logit_scale)
+
+    def fwd(qkv, groups, bias, logit_scale):
+        return fused(qkv, groups, bias, logit_scale), (qkv, groups, bias, logit_scale)
+
+    def pallas_bwd(qkv, groups, bias, logit_scale, dout):
+        T = qkv.shape[0]
+        nw = T // ws
+        grid = (nw // wblk,)
+        kernel = functools.partial(
+            _bwd_kernel, ws=ws, C=C, h=h, wblk=wblk, use_cos=use_cos,
+            has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
+        )
+        scale_arr = logit_scale.reshape(h, 1).astype(jnp.float32)
+        gflat = groups.reshape(T).astype(jnp.int32)
+        gcol = gflat.reshape(T, 1)
+        grow = gflat.reshape(1, T)
+        dqkv, dbias, dls = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((wblk * ws, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wblk * ws), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk * ws, 3 * C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk * ws, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((wblk * ws, 3 * C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, 3 * C), dtype),
+                jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
+                jax.ShapeDtypeStruct((h, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gcol, grow, qkv, bias, scale_arr, dout)
+        return dqkv, dbias, dls
+
+    def bwd(res, g):
+        qkv, groups, bias, logit_scale = res
+        dqkv, dbias, dls = pallas_bwd(qkv, groups, bias, logit_scale, g.astype(dtype))
+        return dqkv, _float0_like(groups), dbias, dls.reshape(h)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def supported(backend: str, T: int, ws: int, num_heads: int, C: int,
+              wblk: int = 8) -> bool:
+    """Whether the fused kernel handles this shape on this backend."""
+    if backend != "tpu":
+        return False
+    if C % num_heads != 0:
+        return False
+    nw = T // ws
+    return T % ws == 0 and nw % wblk == 0 and ws % 8 == 0
+
+
+def fused_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads, use_cos,
+                           sm_scale, has_mask=True, wblk: int = 8,
+                           interpret: bool = False):
+    """Entry point.  qkv: (T, 3C); groups: (T//ws, ws) int32; bias: (h, ws, ws) f32 or
+    None; logit_scale: (h,) f32 (pre-exp'd) or None.  Returns (T, C)."""
+    C = qkv.shape[-1] // 3
+    fn = _make_fused(
+        ws, C, num_heads, use_cos, bias is not None, has_mask, float(sm_scale), wblk,
+        str(qkv.dtype), interpret,
+    )
+    if bias is None:
+        bias = jnp.zeros((num_heads, ws, ws), jnp.float32)
+    if logit_scale is None:
+        logit_scale = jnp.zeros((num_heads,), jnp.float32)
+    return fn(qkv, groups, bias, logit_scale)

@@ -22,11 +22,16 @@ def weighted_cross_entropy(logits, targets, class_weights=None, sample_mask=None
     sum_i w[y_i] * nll_i / sum_i w[y_i].  ``sample_mask``: optional (B,) or
     element-shaped bool excluding padded samples from the mean."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: the gather compiles to a slow
+    # TPU custom fusion (~13 ms/step at paper scale); the masked sum fuses into the
+    # softmax elementwise chain
+    n_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(targets, n_classes, dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if class_weights is None:
         w = jnp.ones_like(nll)
     else:
-        w = jnp.asarray(class_weights, dtype=jnp.float32)[targets]
+        w = jnp.sum(onehot * jnp.asarray(class_weights, dtype=jnp.float32), axis=-1)
     if sample_mask is not None:
         m = jnp.reshape(sample_mask, sample_mask.shape + (1,) * (nll.ndim - sample_mask.ndim))
         w = w * m.astype(w.dtype)
