@@ -85,17 +85,43 @@ def gen_class_legend(woodscape_version):
     plt.close(fig)
 
 
+def print_overview(woodscape_version):
+    """Dataset overview: per-camera image counts and shapes (reference :223-240)."""
+    from heal_swin_tpu.data.segmentation.flat_datasets import (
+        WoodscapeImagesDataset,
+        WoodscapeSemanticMasksDataset,
+    )
+
+    imgs = WoodscapeImagesDataset(part="train", train_share=1.0,
+                                  woodscape_version=woodscape_version)
+    total = 0
+    for cam, paths in imgs.get_paths().items():
+        print(f"{len(paths)} images in {cam} data")
+        total += len(paths)
+    print(f"In total: {total} images")
+    sample = imgs[0]
+    print(f"The images have shape {sample.shape} and dtype {sample.dtype}")
+    masks = WoodscapeSemanticMasksDataset(part="train", train_share=1.0,
+                                          woodscape_version=woodscape_version)
+    m = masks[0]
+    print(f"The labels have shape {m.shape} and dtype {m.dtype}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--woodscape_version", type=str, required=True)
     parser.add_argument(
-        "--task", choices=["gen_cal_distribution_data", "gen_class_legend"], required=True
+        "--task",
+        choices=["gen_cal_distribution_data", "gen_class_legend", "print_overview"],
+        required=True,
     )
     args = parser.parse_args()
     if args.task == "gen_cal_distribution_data":
         gen_cal_distribution_data(args.woodscape_version)
-    else:
+    elif args.task == "gen_class_legend":
         gen_class_legend(args.woodscape_version)
+    else:
+        print_overview(args.woodscape_version)
     print("Done.")
 
 

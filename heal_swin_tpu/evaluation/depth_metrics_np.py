@@ -126,6 +126,129 @@ class ScaleInvariantLogError:
         return self.sum_d2 / n - (self.sum_d / n) ** 2
 
 
+class DepthRangeMSE(DepthMSE):
+    """MSE restricted to targets within [lo, hi) (reference custom_metrics.py:208-266)."""
+
+    def __init__(self, distance_range):
+        super().__init__()
+        self.distance_range = tuple(distance_range)
+
+    def update(self, preds, target):
+        means = np.asarray(preds, dtype=np.float64)[:, 0, ...]
+        target = np.asarray(target, dtype=np.float64)
+        t = np.broadcast_to(target, means.shape)
+        lo, hi = self.distance_range
+        idxs = _valid(means, t) & (lo <= t) & (t < hi)
+        self.sum_se += float(np.sum((means[idxs] - t[idxs]) ** 2))
+        self.n += float(idxs.sum())
+        return self.compute()
+
+    __call__ = update
+
+
+def add_distance_ranged_mse(metric_dict, ranges, prefix=""):
+    """Register one DepthRangeMSE per range (reference custom_metrics.py:268-296)."""
+    for lo, hi in ranges:
+        metric_dict[f"{prefix}mse_range_{lo}_{hi}"] = DepthRangeMSE((lo, hi))
+    return metric_dict
+
+
+class MeanSTD:
+    """Mean predicted standard deviation exp(0.5*logvar) over foreground pixels
+    (uncertainty head, reference custom_metrics.py:299-326)."""
+
+    def __init__(self):
+        self.sum_std = 0.0
+        self.n = 0.0
+
+    def update(self, preds, target):
+        preds = np.asarray(preds, dtype=np.float64)
+        if preds.shape[1] < 2:
+            return
+        log_var = preds[:, 1, ...]
+        t = np.broadcast_to(np.asarray(target, dtype=np.float64), log_var.shape)
+        idxs = _valid(log_var, t)
+        self.sum_std += float(np.sum(np.exp(0.5 * log_var[idxs])))
+        self.n += float(idxs.sum())
+
+    def compute(self):
+        return self.sum_std / max(self.n, 1)
+
+
+class MeanSTDMedian:
+    """Median over per-sample mean stds (reference custom_metrics.py:329-355)."""
+
+    def __init__(self):
+        self.per_sample = []
+
+    def update(self, preds, target):
+        preds = np.asarray(preds, dtype=np.float64)
+        if preds.shape[1] < 2:
+            return
+        for i in range(preds.shape[0]):
+            lv = preds[i, 1, ...]
+            t = np.asarray(target, dtype=np.float64)[i]
+            idxs = _valid(lv, t)
+            if idxs.any():
+                self.per_sample.append(float(np.mean(np.exp(0.5 * lv[idxs]))))
+
+    def compute(self):
+        return float(np.median(self.per_sample)) if self.per_sample else float("nan")
+
+
+class MeanPredDist:
+    """Welford running mean of predicted distances (reference custom_metrics.py:358-396)."""
+
+    def __init__(self):
+        self.n = 0.0
+        self.mean = 0.0
+        self.m2 = 0.0
+
+    def update(self, preds, target=None):
+        vals = np.asarray(preds, dtype=np.float64)[:, 0, ...].reshape(-1)
+        vals = vals[np.isfinite(vals)]
+        for v in vals:  # Welford, like the reference (vectorized per chunk below)
+            self.n += 1
+            d = v - self.mean
+            self.mean += d / self.n
+            self.m2 += d * (v - self.mean)
+
+    def compute(self):
+        return self.mean
+
+
+class STDPredDist(MeanPredDist):
+    """Welford running std of predicted distances (reference custom_metrics.py:399-426;
+    the reference's compute has a `num_sampels` typo and is unused — fixed here)."""
+
+    def compute(self):
+        return float(np.sqrt(self.m2 / max(self.n - 1, 1)))
+
+
+class BlurredDepthMSE(DepthMSE):
+    """MSE of gaussian-blurred prediction vs gaussian-blurred target
+    (reference custom_metrics.py:580-608)."""
+
+    def __init__(self, kernel_size=(5, 5), sigma=None):
+        super().__init__()
+        self.kernel_size = kernel_size
+        kh = kernel_size[0]
+        # torchvision default sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8
+        self.sigma = sigma if sigma is not None else 0.3 * ((kh - 1) * 0.5 - 1) + 0.8
+
+    def _blur(self, x):
+        from scipy.ndimage import gaussian_filter
+
+        return gaussian_filter(x, sigma=self.sigma, mode="nearest", radius=self.kernel_size[0] // 2)
+
+    def update(self, preds, target):
+        p = np.asarray(preds, dtype=np.float64)[:, 0, ...]
+        t = np.broadcast_to(np.asarray(target, dtype=np.float64), p.shape)
+        pb = np.stack([self._blur(pi) for pi in p])
+        tb = np.stack([self._blur(ti) for ti in t])
+        return super().update(pb[:, None], tb)
+
+
 class ChamferDistance:
     """Point-cloud Chamfer metric (reference :471-577) on the TPU-native tiled kernel.
 

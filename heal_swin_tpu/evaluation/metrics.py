@@ -113,11 +113,14 @@ def depth_state_init() -> Dict[str, jnp.ndarray]:
         "sq_rel_ref": z, "abs_rel_ref": z,      # vs dataset-mean predictor
         "inv_sq_err": z, "inv_count": z,         # (1/km) errors for iRMSE
         "silog_d": z, "silog_d2": z, "silog_count": z,
+        "std_sum": z, "std_count": z,            # uncertainty head: mean exp(0.5*logvar)
     }
 
 
-def depth_state_update(state, pred, target, dataset_mean: Optional[float] = None):
-    """pred/target: float arrays, same shape (mean-depth channel already selected)."""
+def depth_state_update(state, pred, target, dataset_mean: Optional[float] = None,
+                       log_var=None):
+    """pred/target: float arrays, same shape (mean-depth channel already selected);
+    log_var: optional same-shape logvar channel (uncertainty head, use_logvar)."""
     pred = pred.reshape(-1).astype(jnp.float32)
     target = target.reshape(-1).astype(jnp.float32)
     valid = jnp.isfinite(target) & jnp.isfinite(pred)
@@ -151,6 +154,13 @@ def depth_state_update(state, pred, target, dataset_mean: Optional[float] = None
     out["silog_d"] = state["silog_d"] + jnp.sum(jnp.where(log_valid, ld, 0.0))
     out["silog_d2"] = state["silog_d2"] + jnp.sum(jnp.where(log_valid, ld * ld, 0.0))
     out["silog_count"] = state.get("silog_count", 0.0) + jnp.sum(log_valid.astype(jnp.float32))
+    if log_var is not None:
+        lv = log_var.reshape(-1).astype(jnp.float32)
+        lv_valid = valid & jnp.isfinite(lv)
+        out["std_sum"] = state["std_sum"] + jnp.sum(
+            jnp.where(lv_valid, jnp.exp(0.5 * lv), 0.0)
+        )
+        out["std_count"] = state["std_count"] + jnp.sum(lv_valid.astype(jnp.float32))
     return out
 
 
@@ -168,4 +178,6 @@ def depth_state_compute(state, prefix: str) -> Dict[str, float]:
     if float(state["sq_rel_ref"]) > 0:
         out[f"{prefix}RelSE"] = float(state["sq_err"]) / float(state["sq_rel_ref"])
         out[f"{prefix}RelAE"] = float(state["abs_err"]) / float(state["abs_rel_ref"])
+    if float(state["std_count"]) > 0:
+        out[f"{prefix}mean_std"] = float(state["std_sum"]) / float(state["std_count"])
     return out

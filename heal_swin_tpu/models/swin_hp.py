@@ -32,6 +32,7 @@ from heal_swin_tpu.models.layers import (
     dense,
     trunc_normal_init,
 )
+from heal_swin_tpu.ops.permute import permute_tokens
 from heal_swin_tpu.ops.shifting import get_shift_spec
 from heal_swin_tpu.ops.windowing import get_nest_win_idcs
 
@@ -136,11 +137,11 @@ class SwinHPBlock(nn.Module):
         if not self.use_v2_norm_placement:
             x = LayerNorm(dtype=self.dtype, name="norm1")(x)
 
-        # shift (roll or precomputed permutation gather)
+        # shift (roll or precomputed permutation gather with inverse-gather VJP)
         if spec.kind == "roll":
             x = jnp.roll(x, -spec.roll_amount, axis=1)
         elif spec.kind == "perm":
-            x = jnp.take(x, jnp.asarray(spec.perm), axis=1)
+            x = permute_tokens(x, jnp.asarray(spec.perm), jnp.asarray(spec.inv_perm))
 
         # windows as a tensor dim: (B, nW, ws, C) — pure reshape in nested order
         x = x.reshape(B, N // ws, ws, C)
@@ -168,7 +169,7 @@ class SwinHPBlock(nn.Module):
         if spec.kind == "roll":
             x = jnp.roll(x, spec.roll_amount, axis=1)
         elif spec.kind == "perm":
-            x = jnp.take(x, jnp.asarray(spec.inv_perm), axis=1)
+            x = permute_tokens(x, jnp.asarray(spec.inv_perm), jnp.asarray(spec.perm))
 
         mlp = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),

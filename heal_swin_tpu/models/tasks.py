@@ -168,6 +168,7 @@ class _DepthBase:
         f_out = 2 if self.cd.use_logvar else 1
         self.model = self._build_model(config, data_spec.replace(f_out=f_out))
         self.loss_impl = get_depth_loss(self.cd)
+        self._epoch = 0
         self.dc = data_config.common_depth if data_config is not None else None
         # stats in transform space (normalization); metric-space mean for RelSE/RelAE
         if data_spec.data_stats is not None:
@@ -228,6 +229,25 @@ class _DepthBase:
             return jnp.concatenate([ch0[..., None], out[..., 1:]], axis=-1)
         return ch0[..., None]
 
+    def set_epoch(self, epoch: int) -> bool:
+        """Loss switch after epoch ``train_uncertainty_after`` (reference
+        model_lightning_depth_swin.py:105-111).  Returns True when the loss changed
+        (the trainer rebuilds its jitted step)."""
+        from heal_swin_tpu.training.losses import mean_log_var_loss
+
+        self._epoch = epoch
+        tua = self.cd.train_uncertainty_after
+        if (
+            self.cd.use_logvar
+            and isinstance(tua, int)
+            and tua > 0
+            and epoch >= tua
+            and self.loss_impl is not mean_log_var_loss
+        ):
+            self.loss_impl = mean_log_var_loss
+            return True
+        return False
+
     def metric_init(self):
         return M.depth_state_init()
 
@@ -242,8 +262,10 @@ class _DepthBase:
                 t,
                 jnp.inf,
             )
+        log_var = out[..., 1] if (self.cd.use_logvar and out.shape[-1] > 1) else None
         return M.depth_state_update(
-            state, pred_metric, t, dataset_mean=float(self.metric_stats.mean)
+            state, pred_metric, t, dataset_mean=float(self.metric_stats.mean),
+            log_var=log_var,
         )
 
     def metric_compute(self, state, prefix, with_per_class=False):

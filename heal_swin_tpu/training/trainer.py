@@ -184,22 +184,27 @@ class Trainer:
         params = jax.device_put(params, self.repl)
         opt_state = jax.device_put(opt_state, self.repl)
 
-        # jitted steps
-        @partial(
-            jax.jit,
-            donate_argnums=(0, 1, 2, 3),
-            out_shardings=(self.repl, self.repl, self.repl, self.repl, self.repl),
-        )
-        def train_step(params, opt_state, mstate, loss_acc, imgs, targets, step_rng):
-            def lf(p):
-                return task.loss_fn(p, imgs, targets, rng=step_rng, deterministic=False)
+        # jitted steps (rebuilt when the task switches its loss, e.g.
+        # train_uncertainty_after)
+        def build_train_step():
+            @partial(
+                jax.jit,
+                donate_argnums=(0, 1, 2, 3),
+                out_shardings=(self.repl, self.repl, self.repl, self.repl, self.repl),
+            )
+            def train_step(params, opt_state, mstate, loss_acc, imgs, targets, step_rng):
+                def lf(p):
+                    return task.loss_fn(p, imgs, targets, rng=step_rng, deterministic=False)
 
-            (loss, outputs), grads = jax.value_and_grad(lf, has_aux=True)(params)
-            updates, opt_state2 = tx.update(grads, opt_state, params)
-            params2 = optax.apply_updates(params, updates)
-            mstate2 = task.metric_update(mstate, outputs, targets)
-            return params2, opt_state2, mstate2, loss_acc + loss, loss
+                (loss, outputs), grads = jax.value_and_grad(lf, has_aux=True)(params)
+                updates, opt_state2 = tx.update(grads, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                mstate2 = task.metric_update(mstate, outputs, targets)
+                return params2, opt_state2, mstate2, loss_acc + loss, loss
 
+            return train_step
+
+        train_step = build_train_step()
         self._train_step = train_step
         self._get_eval_step(task)  # build + cache
 
@@ -222,6 +227,10 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         for epoch in range(start_epoch, max_epochs):
             self.current_epoch = epoch
+            if hasattr(task, "set_epoch") and task.set_epoch(epoch):
+                train_step = build_train_step()  # loss changed -> recompile once
+                self._eval_steps.pop(id(task), None)
+                self._get_eval_step(task)
             train_loader.set_epoch(epoch)
             n_train_batches = _limit(len(train_loader), pl.limit_train_batches)
             if pl.fast_dev_run:
