@@ -34,23 +34,41 @@ def main():
     nside = int(os.environ.get("BENCH_NSIDE", 256))
     batch = int(os.environ.get("BENCH_BATCH", 2))
     steps = int(os.environ.get("BENCH_STEPS", 10))
+    which = os.environ.get("BENCH_MODEL", "swin_hp")  # "swin_hp" | "swin"
     npix = 8 * nside * nside
     n_classes = 10
 
-    print(f"bench: nside={nside} npix={npix} batch={batch} on {jax.devices()[0]}",
-          file=sys.stderr)
-
-    cfg = SwinHPTransformerConfig(
-        patch_size=4, window_size=64, shift_size=4, shift_strategy="ring_shift",
-        rel_pos_bias="flat", embed_dim=96, depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24],
-        use_cos_attn=True, use_v2_norm_placement=True, dtype="bfloat16",
-    )
-    spec = DataSpec(dim_in=npix, f_in=3, f_out=n_classes, base_pix=8)
-    model = SwinHPTransformerSys(cfg, spec)
+    print(f"bench: model={which} nside={nside} npix={npix} batch={batch} on "
+          f"{jax.devices()[0]}", file=sys.stderr)
 
     rng = jax.random.PRNGKey(0)
-    x = jax.random.uniform(rng, (batch, npix, 3), jnp.float32, 0.0, 255.0)
-    y = jax.random.randint(rng, (batch, npix), 0, n_classes, jnp.int32)
+    if which == "swin":
+        # paper flat config (reference swin_synwoodscape_large_train_run_config.py)
+        from heal_swin_tpu.models.swin_flat import (
+            SwinTransformerConfig, SwinTransformerSys,
+        )
+
+        H, W = 640, 768
+        cfg = SwinTransformerConfig(
+            patch_size=2, window_size=8, shift_size=2, embed_dim=96,
+            depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24], use_cos_attn=True,
+            use_v2_norm_placement=True, dtype="bfloat16",
+        )
+        spec = DataSpec(dim_in=(H, W), f_in=3, f_out=n_classes)
+        model = SwinTransformerSys(cfg, spec)
+        x = jax.random.uniform(rng, (batch, H, W, 3), jnp.float32, 0.0, 255.0)
+        y = jax.random.randint(rng, (batch, H, W), 0, n_classes, jnp.int32)
+    else:
+        cfg = SwinHPTransformerConfig(
+            patch_size=4, window_size=64, shift_size=4, shift_strategy="ring_shift",
+            rel_pos_bias="flat", embed_dim=96, depths=[2, 2, 6, 2],
+            num_heads=[3, 6, 12, 24], use_cos_attn=True, use_v2_norm_placement=True,
+            dtype="bfloat16",
+        )
+        spec = DataSpec(dim_in=npix, f_in=3, f_out=n_classes, base_pix=8)
+        model = SwinHPTransformerSys(cfg, spec)
+        x = jax.random.uniform(rng, (batch, npix, 3), jnp.float32, 0.0, 255.0)
+        y = jax.random.randint(rng, (batch, npix), 0, n_classes, jnp.int32)
 
     t0 = time.time()
     params = jax.jit(model.init, static_argnums=2)(rng, x, True)
@@ -93,9 +111,13 @@ def main():
 
     reference_a100_imgs_per_sec = 2.5  # documented estimate, see module docstring
     print(json.dumps({
-        "metric": "heal_swin_unet_train_images_per_sec_per_chip",
+        "metric": f"{which}_unet_train_images_per_sec_per_chip"
+        if which == "swin" else "heal_swin_unet_train_images_per_sec_per_chip",
         "value": round(images_per_sec, 3),
-        "unit": "images/sec/chip (nside=256, 524288 px, batch 2, bf16)",
+        "unit": (
+            f"images/sec/chip (flat 640x768, batch {batch}, bf16)" if which == "swin"
+            else f"images/sec/chip (nside={nside}, {npix} px, batch {batch}, bf16)"
+        ),
         "vs_baseline": round(images_per_sec / reference_a100_imgs_per_sec, 3),
     }))
 

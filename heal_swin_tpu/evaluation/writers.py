@@ -61,12 +61,66 @@ class SegBasePredictionWriter:
             self.run.log_metric(f"{self.prefix}pred_acc", self._acc_correct / self._acc_total)
 
 
+class DepthBasePredictionWriter(SegBasePredictionWriter):
+    """Depth variant of the minimal base writer: per-sample MSE in filename; targets
+    are network-space depth maps, predictions metric depths (channel 0)."""
+
+    def __init__(self, dm, data_config=None, **kw):
+        super().__init__(dm, **kw)
+        from heal_swin_tpu.data import normalize_depth_data as ndd
+
+        dc = data_config.common_depth if data_config is not None else None
+        self.dc = dc
+        self.stats = (
+            ndd.get_depth_data_stats(dc.data_transform, dc.mask_background)
+            if dc is not None
+            else None
+        )
+        self._sq = 0.0
+        self._n = 0.0
+
+    def _to_metric(self, t):
+        from heal_swin_tpu.data import normalize_depth_data as ndd
+
+        if self.dc is None:
+            return t
+        return np.asarray(
+            ndd.unnormalize_and_retransform(
+                t, self.dc.normalize_data, self.stats, self.dc.data_transform
+            )
+        )
+
+    def write_on_batch_end(self, preds, batch, batch_idx):
+        targets = self._to_metric(np.asarray(batch[self.target_key], dtype=np.float64))
+        names = batch.get("names", [f"b{batch_idx}_{i}" for i in range(len(preds))])
+        preds = np.asarray(preds)
+        for i, (p, t) in enumerate(zip(preds, targets)):
+            pm = p[..., 0] if p.ndim > t.ndim else p
+            valid = np.isfinite(pm) & np.isfinite(t)
+            mse = float(np.mean((pm[valid] - t[valid]) ** 2)) if valid.any() else float("nan")
+            self._sq += mse if np.isfinite(mse) else 0.0
+            self._n += 1
+            if self.output_dir is not None:
+                np.savez_compressed(
+                    self.output_dir / f"{self.prefix}{names[i]}_mse={mse:.2f}.npz",
+                    pred=pm.astype(np.float32),
+                )
+
+    def on_predict_epoch_end(self):
+        if self.run is not None and self._n:
+            self.run.log_metric(f"{self.prefix}pred_mse", self._sq / self._n)
+
+
 def get_synthetic_writer(writer_name: Optional[str], dm, **kwargs):
     """Writer registry for the synthetic datamodules (mirrors the reference's
     per-datamodule get_pred_writer registries, hp_datasets.py:390-396)."""
     target_key = "hp_masks" if hasattr(dm, "nside") else "s2_masks"
-    names = {None: SegBasePredictionWriter, "base_writer": SegBasePredictionWriter}
-    cls = names.get(writer_name)
-    if cls is None:
+    if writer_name not in (None, "base_writer"):
         raise ValueError(f"unknown writer for synthetic data: {writer_name}")
-    return cls(dm, num_classes=dm.get_classes(), target_key=target_key, **kwargs)
+    if dm.get_classes() == 1:  # depth
+        return DepthBasePredictionWriter(
+            dm, data_config=getattr(dm, "config", None), target_key=target_key, **kwargs
+        )
+    return SegBasePredictionWriter(
+        dm, num_classes=dm.get_classes(), target_key=target_key, **kwargs
+    )

@@ -96,8 +96,19 @@ def train_model(
         run.log_param("total_params", n_params)
 
         if train_config.eval_after_train and not pl_config.fast_dev_run:
-            # reference eval-after-train prefixes the val_* metric names (evaluate.py)
-            trainer.validate(task, dm, trainer._params, metrics_prefix="best_val_")
+            # run the full evaluation with a default EvaluateConfig, like the
+            # reference (train.py:250-269); metrics land in this run with the
+            # evaluate_best_ prefix
+            from heal_swin_tpu.evaluate import evaluate as run_evaluate
+            from heal_swin_tpu.evaluation.evaluate_config import EvaluateConfig
+
+            eval_config = EvaluateConfig(
+                path=run.run_id,
+                epoch="best",
+                data_config=run_config.data,
+                train_config=train_config,
+            )
+            run_evaluate(eval_config, pl_config)
 
         run.set_status("FINISHED")
         return run.run_id, result

@@ -58,7 +58,7 @@ SEG_METRICS = [
     "train_loss", "train_acc", "train_acc_ignored", "train_iou_global",
     "train_iou_global_ignored", "val_loss", "val_acc", "val_iou_global",
     "val_iou_global_ignored", "val_iou_global_class_0_background",
-    "train_time_per_sample in ms", "lr-Adam", "best_val_iou_global",
+    "train_time_per_sample in ms", "lr-Adam", "evaluate_best_val_iou_global",
 ]
 
 SEG_PARAMS = [
