@@ -82,6 +82,12 @@ def train_model(
         run_config, pl_config, trainer.n_devices
     )
     params["n_devices"] = trainer.n_devices
+    try:
+        from heal_swin_tpu.models.flops import model_flops
+
+        params["model_flops"] = model_flops(run_config.model, data_spec)["total"]
+    except Exception:
+        pass  # analytic counter only supports the two SWIN families
     run.log_params(params)
     run.set_tag("cmd", " ".join(sys.argv))
     if train_config.description:

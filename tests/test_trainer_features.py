@@ -1,0 +1,127 @@
+"""Trainer feature tests: max_steps, terminate_on_nan, early stopping and gradient
+accumulation (the PLConfig passthroughs the reference inherits from Lightning —
+train_config.py:104 terminate_on_nan, trainer flags max_steps / accumulate_grad_batches;
+early stopping per reference train.py:106-114)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heal_swin_tpu.data.data import get_data_module
+from heal_swin_tpu.models.tasks import MODEL_FROM_CONFIG_NAME
+from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+from heal_swin_tpu.training.train_config import PLConfig
+from heal_swin_tpu.training.trainer import Trainer
+from heal_swin_tpu.utils.utils import get_config_from_config_path
+
+CONFIG = "run_configs/swin_hp_test_run_config.py"
+
+
+def _fit(tmp_path, pl_config, train_tweaks=None, model_tweaks=None, nan_loss=False):
+    run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+    if train_tweaks:
+        run_config = dataclasses.replace(
+            run_config, train=dataclasses.replace(run_config.train, **train_tweaks)
+        )
+    if model_tweaks:
+        mc = run_config.model
+        inner = dataclasses.replace(mc.swin_hp_transformer_config, **model_tweaks)
+        run_config = dataclasses.replace(
+            run_config, model=dataclasses.replace(mc, swin_hp_transformer_config=inner)
+        )
+
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+    if nan_loss:
+        orig = task.loss_fn
+
+        def bad_loss(*a, **kw):
+            loss, outputs = orig(*a, **kw)
+            return loss * jnp.nan, outputs
+
+        task.loss_fn = bad_loss
+
+    store = MlflowFileStore(tmp_path / "mlruns")
+    run = store.create_run("trainer_features")
+    trainer = Trainer(pl_config, run_config.train, run=run,
+                      ckpt_dir=run.artifact_dir / "checkpoints")
+    result = trainer.fit(task, dm)
+    return trainer, result
+
+
+def test_max_steps_stops_mid_training(tmp_path):
+    pl = PLConfig(max_epochs=5, max_steps=3, limit_train_batches=2,
+                  limit_val_batches=1, num_sanity_val_steps=0, log_every_n_steps=1)
+    trainer, result = _fit(tmp_path, pl)
+    assert trainer.global_step == 3
+    assert result.epochs_run < 5  # stopped by max_steps, not max_epochs
+
+
+def test_terminate_on_nan_raises(tmp_path):
+    pl = PLConfig(max_epochs=1, limit_train_batches=2, limit_val_batches=1,
+                  num_sanity_val_steps=0, terminate_on_nan=True, log_every_n_steps=1)
+    with pytest.raises(FloatingPointError, match="non-finite train loss"):
+        _fit(tmp_path, pl, nan_loss=True)
+
+
+def test_early_stopping_patience(tmp_path):
+    # min_delta so large no epoch can ever "improve" -> stop after patience epochs
+    pl = PLConfig(max_epochs=6, limit_train_batches=1, limit_val_batches=1,
+                  num_sanity_val_steps=0, log_every_n_steps=1)
+    trainer, result = _fit(
+        tmp_path, pl,
+        train_tweaks=dict(
+            early_stopping=True, early_stopping_monitor="val_loss",
+            early_stopping_mode="min", early_stopping_patience=1,
+            early_stopping_min_delta=1e9, eval_after_train=False,
+        ),
+    )
+    assert result.epochs_run == 2  # epoch 0 sets the baseline, epoch 1 trips patience
+
+
+def test_grad_accumulation_matches_bigger_batch(tmp_path):
+    """accumulate_grad_batches=2 @ batch 2 must equal one optimizer step @ batch 4
+    (optax.MultiSteps averages the micro-batch gradients; losses are batch means)."""
+    det = dict(drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0)
+
+    def final_params(batch_size, accum, n_batches):
+        run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+        data = dataclasses.replace(
+            run_config.data,
+            common=dataclasses.replace(run_config.data.common, batch_size=batch_size),
+        )
+        run_config = dataclasses.replace(run_config, data=data)
+        pl = PLConfig(max_epochs=1, limit_train_batches=n_batches, limit_val_batches=1,
+                      num_sanity_val_steps=0, accumulate_grad_batches=accum,
+                      gpus=1, log_every_n_steps=100)
+        trainer, _ = _fit_with_config(tmp_path, run_config, pl, det)
+        return trainer._params
+
+    def _fit_with_config(tmp_path, run_config, pl, model_tweaks):
+        mc = run_config.model
+        inner = dataclasses.replace(mc.swin_hp_transformer_config, **model_tweaks)
+        run_config = dataclasses.replace(
+            run_config, model=dataclasses.replace(mc, swin_hp_transformer_config=inner)
+        )
+        dm, data_spec = get_data_module(run_config.data)
+        task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+        task = task_cls(run_config.model, data_spec, run_config.data)
+        store = MlflowFileStore(tmp_path / "mlruns")
+        run = store.create_run("trainer_features")
+        trainer = Trainer(pl, run_config.train, run=run,
+                          ckpt_dir=run.artifact_dir / "checkpoints")
+        result = trainer.fit(task, dm)
+        return trainer, result
+
+    p_accum = final_params(batch_size=2, accum=2, n_batches=2)
+    p_big = final_params(batch_size=4, accum=1, n_batches=1)
+
+    flat_a = jax.tree.leaves(p_accum)
+    flat_b = jax.tree.leaves(p_big)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
