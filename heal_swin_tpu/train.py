@@ -71,6 +71,36 @@ def train_model(
 
     save_config(run.artifact_dir, run_config, pl_config, task, data_spec, config_path)
 
+    if pl_config.auto_lr_find:
+        # LR range test before the real fit (reference train.py:204-217 via the
+        # Lightning tuner); replaces the configured lr and stores the sweep plot
+        import dataclasses
+
+        suggestion, lrs, losses = trainer.lr_find(task, dm)
+        if suggestion is not None:
+            task.optimizer_config = dataclasses.replace(
+                task.optimizer_config, learning_rate=suggestion
+            )
+            run.log_param("auto_lr_find.lr", suggestion)
+            print(f"auto_lr_find suggested lr={suggestion:.3e}")
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                fig, ax = plt.subplots()
+                ax.plot(lrs, losses)
+                ax.axvline(suggestion, color="red", ls="--", label=f"lr={suggestion:.2e}")
+                ax.set_xscale("log")
+                ax.set_xlabel("learning rate")
+                ax.set_ylabel("smoothed loss")
+                ax.legend()
+                fig.savefig(run.artifact_dir / "lr_find_plot.png", bbox_inches="tight")
+                plt.close(fig)
+            except Exception:
+                pass  # plotting is best-effort (headless images without matplotlib)
+
     # hyperparameters with the reference's prefixes (train.py:219-227)
     params = {}
     params.update(serialize.flatten_config(train_config, "train."))
@@ -100,6 +130,14 @@ def train_model(
 
         n_params = sum(int(p.size) for p in jax.tree.leaves(trainer._params))
         run.log_param("total_params", n_params)
+        # per-top-level-module decomposition (reference logging_callbacks.py:47-59)
+        tree = trainer._params.get("params", trainer._params)
+        if isinstance(tree, dict):
+            for mod, sub in tree.items():
+                run.log_param(
+                    f"total_params.{mod}",
+                    sum(int(p.size) for p in jax.tree.leaves(sub)),
+                )
 
         if train_config.eval_after_train and not pl_config.fast_dev_run:
             # run the full evaluation with a default EvaluateConfig, like the

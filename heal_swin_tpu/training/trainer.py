@@ -129,6 +129,85 @@ class Trainer:
             targets = np.pad(targets, tpad, mode="edge")
         return imgs, targets, mask
 
+    # --------------------------------------------------------------- lr find
+    def lr_find(self, task, datamodule, min_lr=1e-8, max_lr=1.0, num_training=100,
+                early_stop_threshold=4.0):
+        """Exponential LR range test (the reference's Lightning ``auto_lr_find`` tune,
+        train.py:204-217): sweep lr over ``num_training`` steps, record the
+        exponentially-smoothed loss, stop when it diverges (> threshold * best), and
+        suggest the lr at the steepest descent of the smoothed curve.
+
+        Returns ``(suggested_lr or None, lrs, losses)``; training state is thrown away.
+        """
+        tc = self.tc
+        if tc.seed is not None:
+            np.random.seed(tc.seed)
+        rng = jax.random.PRNGKey(tc.seed if tc.seed is not None else 0)
+
+        loader = datamodule.train_dataloader()
+        loader.batch_size = loader.batch_size * self.n_devices
+        loader.drop_last = True
+        avail = loader.indices if loader.indices is not None else np.arange(len(loader.dataset))
+        if len(avail) < loader.batch_size:
+            loader.indices = np.resize(avail, loader.batch_size)
+
+        init_rng, rng = jax.random.split(rng)
+        sample_imgs, _ = next(iter(loader))
+        params = jax.jit(task.init_variables)(init_rng, jnp.asarray(sample_imgs[:1]))
+        tx = make_optimizer(task.optimizer_config, gradient_clip_val=self.pl.gradient_clip_val)
+        opt_state = jax.jit(tx.init)(params)
+        params = jax.device_put(params, self.repl)
+        opt_state = jax.device_put(opt_state, self.repl)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, imgs, targets, step_rng):
+            def lf(p):
+                return task.loss_fn(p, imgs, targets, rng=step_rng, deterministic=False)
+
+            (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        lrs, losses = [], []
+        smoothed, best = None, math.inf
+        beta = 0.98
+        i = 0
+        epoch = 0
+        while i < num_training:
+            loader.set_epoch(epoch)
+            epoch += 1
+            for imgs, targets in loader:
+                if i >= num_training:
+                    break
+                lr = min_lr * (max_lr / min_lr) ** (i / max(num_training - 1, 1))
+                opt_state = set_learning_rate(opt_state, lr)
+                imgs_d, targets_d = self._put_batch((imgs, targets))
+                params, opt_state, loss = step(
+                    params, opt_state, imgs_d, targets_d, jax.random.fold_in(rng, i)
+                )
+                loss_val = float(loss)
+                i += 1
+                if not math.isfinite(loss_val):
+                    break
+                smoothed = loss_val if smoothed is None else beta * smoothed + (1 - beta) * loss_val
+                debiased = smoothed / (1 - beta**i)
+                lrs.append(lr)
+                losses.append(debiased)
+                best = min(best, debiased)
+                if debiased > early_stop_threshold * best and i > 10:
+                    i = num_training  # diverged
+            else:
+                continue
+            break
+
+        if len(lrs) < 5:
+            return None, lrs, losses
+        # steepest descent of the smoothed curve, skipping the unstable edges
+        grads = np.gradient(np.asarray(losses))
+        lo, hi = max(1, len(lrs) // 10), len(lrs) - max(1, len(lrs) // 20)
+        idx = lo + int(np.argmin(grads[lo:hi]))
+        return float(lrs[idx]), lrs, losses
+
     # ------------------------------------------------------------------- fit
     def fit(self, task, datamodule, resume_state: Optional[dict] = None):
         pl = self.pl

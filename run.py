@@ -25,6 +25,7 @@ def main():
 
     sub.add_parser("test-repo")
     sub.add_parser("bench")
+    sub.add_parser("format-code")  # reference run.py format_code (black)
     p = sub.add_parser("start-mlflow-server")
     p.add_argument("--port", type=int, default=5000)
 
@@ -55,6 +56,14 @@ def main():
         sys.exit(subprocess.call([sys.executable, "-m", "pytest", "tests/", "-x", "-q"]))
     elif args.cmd == "bench":
         sys.exit(subprocess.call([sys.executable, "bench.py"]))
+    elif args.cmd == "format-code":
+        rc = subprocess.call(
+            [sys.executable, "-m", "black", "--line-length", "99",
+             "heal_swin_tpu", "tests", "run_configs", "run.py", "bench.py"]
+        )
+        if rc != 0:
+            print("black is not installed in this image; no formatting applied")
+        sys.exit(rc)
     elif args.cmd == "start-mlflow-server":
         try:
             from heal_swin_tpu.utils.utils import get_mlruns_path

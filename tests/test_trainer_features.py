@@ -83,6 +83,27 @@ def test_early_stopping_patience(tmp_path):
     assert result.epochs_run == 2  # epoch 0 sets the baseline, epoch 1 trips patience
 
 
+def test_lr_find_range_test(tmp_path):
+    """LR range test (reference auto_lr_find, train.py:204-217): sweeps lr
+    exponentially and suggests a finite lr inside the sweep range."""
+    run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+    store = MlflowFileStore(tmp_path / "mlruns")
+    run = store.create_run("lr_find")
+    pl = PLConfig(max_epochs=1, num_sanity_val_steps=0, log_every_n_steps=1)
+    trainer = Trainer(pl, run_config.train, run=run, ckpt_dir=None)
+
+    suggestion, lrs, losses = trainer.lr_find(task, dm, min_lr=1e-6, max_lr=1e-1,
+                                              num_training=25)
+    assert len(lrs) == len(losses) > 5
+    assert all(np.isfinite(l) for l in losses)
+    assert suggestion is not None and 1e-6 <= suggestion <= 1e-1
+    # the sweep is exponential: lrs strictly increasing
+    assert all(b > a for a, b in zip(lrs, lrs[1:]))
+
+
 def test_grad_accumulation_matches_bigger_batch(tmp_path):
     """accumulate_grad_batches=2 @ batch 2 must equal one optimizer step @ batch 4
     (optax.MultiSteps averages the micro-batch gradients; losses are batch means)."""
