@@ -138,15 +138,21 @@ class WindowAttention(nn.Module):
     dtype: Optional[Dtype] = None
 
     def _pallas_wblk(self, n_windows: int, ws: int, C: int) -> Optional[int]:
-        """Largest block size that is lane-aligned, divides the window count, and fits
-        the ~16 MB scoped VMEM (double-buffered qkv/out blocks + f32 score temps +
-        the full rel-pos bias)."""
+        """Largest window-batch size that divides the window count and fits the ~16 MB
+        scoped VMEM.  Score temps are per-window (wblk*ws*ws f32, several live), so the
+        footprint is dominated by the double-buffered qkv/out/dqkv blocks."""
         h = self.num_heads
-        for w in (16, 8, 4, 2):
-            if n_windows % w != 0 or (w * ws) % 128 != 0:
+        # measured on v5e: 16 beats both 8 and 32 at the paper's stage-0 shape
+        for w in (16, 8, 4, 2, 1):
+            if n_windows % w != 0:
                 continue
             n = w * ws
-            est = 2 * (n * 3 * C * 2) + 2 * (n * C * 2) + h * ws * ws * 4 + 3 * n * n * 4
+            est = (
+                2 * (n * 3 * C * 2) * 2   # qkv in + dqkv out, double-buffered bf16
+                + 2 * (n * C * 2) * 2     # out / dout blocks
+                + h * ws * ws * 4         # rel-pos bias (const block)
+                + 6 * w * ws * ws * 4     # s/p/mask/dp/ds f32 temps
+            )
             if est < 12 * 2**20:
                 return w
         return None
@@ -165,8 +171,8 @@ class WindowAttention(nn.Module):
         if self.attention_impl == "pallas" and not ok:
             raise ValueError(
                 "attention_impl='pallas' unsupported here: requires TPU backend, "
-                f"(B*nW={B * nW}, ws={ws}) blockable to 128 lanes, and inactive "
-                "attention dropout"
+                f"a VMEM-fitting window block for (B*nW={B * nW}, ws={ws}), and "
+                "inactive attention dropout"
             )
         return "pallas" if ok else "xla"
 

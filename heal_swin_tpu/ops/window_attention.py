@@ -3,11 +3,13 @@
 The XLA path materializes the (B, nW, h, ws, ws) attention scores in f32 in HBM
 (plus layout copies around the qkv reshape) — ~1/3 of the train step at paper scale.
 This kernel keeps the whole window attention VMEM-resident: per grid step it loads a
-block of windows' fused qkv rows ((wblk*ws, 3C), exactly the dense layer's output
-layout — no reshape/transpose), computes per-head QK^T, adds the shift mask (derived
+block of wblk windows' fused qkv rows ((wblk, ws, 3C), exactly the dense layer's output
+layout — no transpose), computes per-head QK^T as a window-batched MXU dot
+((wblk, ws, hd) x (wblk, ws, hd) -> (wblk, ws, ws)), adds the shift mask (derived
 in-kernel from integer group ids) and the relative-position bias, softmaxes in f32,
-applies AV and writes (wblk*ws, C).  Supports both attention flavors of the reference:
-scaled dot product and SWIN-v2 cosine attention with clamped logit scale
+applies AV and writes (wblk, ws, C).  Window-batched dots do exactly the required
+FLOPs — no block-diagonal padding waste.  Supports both attention flavors of the
+reference: scaled dot product and SWIN-v2 cosine attention with clamped logit scale
 (reference swin_hp_transformer.py:124-174).
 
 Backward: a second Pallas kernel (flash style) that saves only qkv/groups/bias from
@@ -26,6 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -100.0
+
+_BATCH_QK = (((2,), (2,)), ((0,), (0,)))  # (w,i,d)x(w,j,d) -> (w,i,j)
+_BATCH_AV = (((2,), (1,)), ((0,), (0,)))  # (w,i,j)x(w,j,d) -> (w,i,d)
+_BATCH_TN = (((1,), (1,)), ((0,), (0,)))  # (w,i,j)x(w,i,d) -> (w,j,d)  (transpose-first)
 
 
 def reference_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads,
@@ -63,30 +69,23 @@ def reference_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads,
     return o.reshape(T, C).astype(qkv.dtype)
 
 
-WINDOW_MASK = -1e30  # hard cross-window exclusion inside the block-diagonal batch
-
-
 def _fwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, out_ref, *, ws, C,
                 h, wblk, use_cos, has_bias, has_mask, sm_scale):
-    """Block-diagonal batching: all wblk windows of the grid step form one
-    (wblk*ws, wblk*ws) attention matrix per head (one MXU dot instead of wblk small
-    ones); cross-window entries are excluded with a -1e30 additive mask, so the math
-    per window is exact."""
+    """Window-batched attention: qkv block (wblk, ws, 3C); each head's QK^T / AV is
+    one batched MXU dot over the wblk windows — exact per-window math, zero padding
+    FLOPs."""
     hd = C // h
-    n = wblk * ws
 
-    bd_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // ws
-    bd_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // ws
-    base = jnp.where(bd_i == bd_j, 0.0, WINDOW_MASK).astype(jnp.float32)
+    mask = None
     if has_mask:
-        gc = gcol_ref[...]  # (n, 1)
-        gr = grow_ref[...]  # (1, n)
-        base = base + jnp.where(gc != gr, MASK_VALUE, 0.0)
+        gc = gcol_ref[...]  # (wblk, ws, 1)
+        gr = grow_ref[...]  # (wblk, 1, ws)
+        mask = jnp.where(gc != gr, MASK_VALUE, 0.0).astype(jnp.float32)  # (wblk, ws, ws)
 
     for head in range(h):
-        q = qkv_ref[:, head * hd:(head + 1) * hd]
-        k = qkv_ref[:, C + head * hd:C + (head + 1) * hd]
-        v = qkv_ref[:, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        q = qkv_ref[:, :, head * hd:(head + 1) * hd]
+        k = qkv_ref[:, :, C + head * hd:C + (head + 1) * hd]
+        v = qkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
         if use_cos:
             qf = q.astype(jnp.float32)
             kf = k.astype(jnp.float32)
@@ -98,26 +97,24 @@ def _fwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, out_ref, *, ws
             )
             # bf16 operands keep the MXU at full rate; accumulation stays f32
             s = jax.lax.dot_general(
-                qf.astype(q.dtype), kf.astype(k.dtype), (((1,), (1,)), ((), ())),
+                qf.astype(q.dtype), kf.astype(k.dtype), _BATCH_QK,
                 preferred_element_type=jnp.float32,
             )
             s = s * scale_ref[head, 0]
         else:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
+            s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
             s = s * sm_scale
-        s = s + base
         if has_bias:
-            s = s + jnp.tile(bias_ref[head], (wblk, wblk))
+            s = s + bias_ref[head][None]
+        if mask is not None:
+            s = s + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (wblk, ws, ws) f32
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            p.astype(v.dtype), v, _BATCH_AV, preferred_element_type=jnp.float32
         )
-        out_ref[:, head * hd:(head + 1) * hd] = o.astype(out_ref.dtype)
+        out_ref[:, :, head * hd:(head + 1) * hd] = o.astype(out_ref.dtype)
 
 
 def _float0_like(x):
@@ -129,9 +126,8 @@ def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
                 has_mask, sm_scale):
     """Flash-style backward: recomputes the softmax from qkv in VMEM and produces
     dqkv; dbias (h, ws, ws) and dlogit_scale (h, 1) accumulate across the sequential
-    grid into constant-index output blocks."""
+    grid into constant-index output blocks.  All dots window-batched."""
     hd = C // h
-    n = wblk * ws
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -139,19 +135,17 @@ def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
         for _hh in range(h):
             dls_ref[_hh, 0] = 0.0
 
-    bd_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // ws
-    bd_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // ws
-    base = jnp.where(bd_i == bd_j, 0.0, WINDOW_MASK).astype(jnp.float32)
+    mask = None
     if has_mask:
         gc = gcol_ref[...]
         gr = grow_ref[...]
-        base = base + jnp.where(gc != gr, MASK_VALUE, 0.0)
+        mask = jnp.where(gc != gr, MASK_VALUE, 0.0).astype(jnp.float32)
 
     for head in range(h):
-        q = qkv_ref[:, head * hd:(head + 1) * hd]
-        k = qkv_ref[:, C + head * hd:C + (head + 1) * hd]
-        v = qkv_ref[:, 2 * C + head * hd:2 * C + (head + 1) * hd]
-        do = dout_ref[:, head * hd:(head + 1) * hd]
+        q = qkv_ref[:, :, head * hd:(head + 1) * hd]
+        k = qkv_ref[:, :, C + head * hd:C + (head + 1) * hd]
+        v = qkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        do = dout_ref[:, :, head * hd:(head + 1) * hd]
 
         if use_cos:
             qf = q.astype(jnp.float32)
@@ -161,51 +155,41 @@ def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
             qh = (qf * inv_nq).astype(q.dtype)
             kh = (kf * inv_nk).astype(k.dtype)
             s_hat = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                qh, kh, _BATCH_QK, preferred_element_type=jnp.float32
             )
             s = s_hat * scale_ref[head, 0]
         else:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
+            s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
             s = s * sm_scale
-        s = s + base
         if has_bias:
-            s = s + jnp.tile(bias_ref[head], (wblk, wblk))
+            s = s + bias_ref[head][None]
+        if mask is not None:
+            s = s + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (n, n) f32; 0 cross-window
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (wblk, ws, ws) f32
 
         p_lo = p.astype(v.dtype)
-        # dV = P^T dO
-        dv = jax.lax.dot_general(
-            p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dqkv_ref[:, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(dqkv_ref.dtype)
-        # dP = dO V^T
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        # dV[w] = P[w]^T dO[w]
+        dv = jax.lax.dot_general(p_lo, do, _BATCH_TN, preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(dqkv_ref.dtype)
+        # dP[w] = dO[w] V[w]^T
+        dp = jax.lax.dot_general(do, v, _BATCH_QK, preferred_element_type=jnp.float32)
         t = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - t)  # (n, n) f32; 0 cross-window
+        ds = p * (dp - t)  # (wblk, ws, ws) f32
 
-        # dbias: sum the wblk diagonal (ws, ws) blocks of ds
-        acc = ds[0:ws, 0:ws]
-        for w in range(1, wblk):
-            acc = acc + ds[w * ws:(w + 1) * ws, w * ws:(w + 1) * ws]
         if has_bias:
-            dbias_ref[head] += acc
+            dbias_ref[head] += jnp.sum(ds, axis=0)
 
         ds_lo = ds.astype(q.dtype)
         if use_cos:
             dls_ref[head, 0] += jnp.sum(ds * s_hat)
-            dsh = ds * scale_ref[head, 0]
-            dsh_lo = dsh.astype(q.dtype)
+            dsh_lo = (ds * scale_ref[head, 0]).astype(q.dtype)
             dqh = jax.lax.dot_general(
-                dsh_lo, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                dsh_lo, kh, _BATCH_AV, preferred_element_type=jnp.float32
             )
             dkh = jax.lax.dot_general(
-                dsh_lo, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                dsh_lo, qh, _BATCH_TN, preferred_element_type=jnp.float32
             )
             qhf = qf * inv_nq
             khf = kf * inv_nk
@@ -213,13 +197,13 @@ def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
             dk = (dkh - khf * jnp.sum(dkh * khf, -1, keepdims=True)) * inv_nk
         else:
             dq = jax.lax.dot_general(
-                ds_lo, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ds_lo, k, _BATCH_AV, preferred_element_type=jnp.float32
             ) * sm_scale
             dk = jax.lax.dot_general(
-                ds_lo, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ds_lo, q, _BATCH_TN, preferred_element_type=jnp.float32
             ) * sm_scale
-        dqkv_ref[:, head * hd:(head + 1) * hd] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, C + head * hd:C + (head + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, head * hd:(head + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, C + head * hd:C + (head + 1) * hd] = dk.astype(dqkv_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -236,25 +220,26 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
             has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
         )
         scale_arr = logit_scale.reshape(h, 1).astype(jnp.float32)
-        gflat = groups.reshape(T // ws * ws).astype(jnp.int32)
-        gcol = gflat.reshape(T, 1)
-        grow = gflat.reshape(1, T)
-        return pl.pallas_call(
+        g = groups.astype(jnp.int32)
+        gcol = g.reshape(nw, ws, 1)
+        grow = g.reshape(nw, 1, ws)
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((wblk * ws, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, wblk * ws), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wblk * ws, 3 * C), lambda i: (i, 0),
+                pl.BlockSpec((wblk, ws, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk, 1, ws), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk, ws, 3 * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((wblk * ws, C), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((T, C), dtype),
+            out_shape=jax.ShapeDtypeStruct((nw, ws, C), dtype),
             interpret=interpret,
-        )(gcol, grow, qkv, bias, scale_arr)
+        )(gcol, grow, qkv.reshape(nw, ws, 3 * C), bias, scale_arr)
+        return out.reshape(T, C)
 
     @jax.custom_vjp
     def fused(qkv, groups, bias, logit_scale):
@@ -272,35 +257,36 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
             has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
         )
         scale_arr = logit_scale.reshape(h, 1).astype(jnp.float32)
-        gflat = groups.reshape(T).astype(jnp.int32)
-        gcol = gflat.reshape(T, 1)
-        grow = gflat.reshape(1, T)
+        g = groups.astype(jnp.int32)
+        gcol = g.reshape(nw, ws, 1)
+        grow = g.reshape(nw, 1, ws)
         dqkv, dbias, dls = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((wblk * ws, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, wblk * ws), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wblk * ws, 3 * C), lambda i: (i, 0),
+                pl.BlockSpec((wblk, ws, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk, 1, ws), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk, ws, 3 * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wblk * ws, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((wblk * ws, 3 * C), lambda i: (i, 0),
+                pl.BlockSpec((wblk, ws, 3 * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((T, 3 * C), dtype),
+                jax.ShapeDtypeStruct((nw, ws, 3 * C), dtype),
                 jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(gcol, grow, qkv, bias, scale_arr, dout)
-        return dqkv, dbias, dls
+        )(gcol, grow, qkv.reshape(nw, ws, 3 * C), bias, scale_arr,
+          dout.reshape(nw, ws, C))
+        return dqkv.reshape(T, 3 * C), dbias, dls
 
     def bwd(res, g):
         qkv, groups, bias, logit_scale = res
