@@ -15,6 +15,7 @@ Reference behavior: ``heal_swin/models_torch/swin_hp_transformer.py:21-191`` and
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -30,7 +31,12 @@ trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, up
 
 
 def dense(features: int, use_bias: bool = True, dtype: Optional[Dtype] = None, name=None):
-    """nn.Dense with the reference init: trunc_normal(0.02) kernel, zero bias."""
+    """nn.Dense with the reference init: trunc_normal(0.02) kernel, zero bias.
+
+    NOTE: do not flatten >2-D inputs to (M, C) before nn.Dense — measured 13% SLOWER
+    end-to-end at paper scale.  XLA's conv-style lowering of the 4-D form (with its
+    layout copies) beats the plain 2-D matmul here; the flat form is only used where
+    an operand must feed the Pallas attention call copy-free (see WindowAttention)."""
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -39,6 +45,47 @@ def dense(features: int, use_bias: bool = True, dtype: Optional[Dtype] = None, n
         dtype=dtype,
         name=name,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln_fn(x, scale, bias, eps):
+    y, _ = _ln_fwd(x, scale, bias, eps)
+    return y
+
+
+def _ln_fwd(x, scale, bias, eps):
+    """f32 statistics; saves only the (low-precision) input plus per-row mean/rstd.
+
+    Plain autodiff of the f32 upcast saved the full activation in f32 (a 4x blowup
+    for bf16 plus a layout copy at paper scale); here the backward recomputes
+    x_hat from x."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = xc * rstd * scale + bias
+    return y, (x, mean, rstd, scale)
+
+
+def _ln_bwd(eps, res, dy):
+    x, mean, rstd, scale = res
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mean) * rstd
+    dyf = dy.astype(jnp.float32)
+    red_axes = tuple(range(dy.ndim - 1))
+    dscale = jnp.sum(dyf * xhat, axis=red_axes)
+    dbias = jnp.sum(dyf, axis=red_axes)
+    dg = dyf * scale
+    dx = rstd * (
+        dg
+        - jnp.mean(dg, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dg * xhat, axis=-1, keepdims=True)
+    )
+    return dx.astype(x.dtype), dscale, dbias
+
+
+_ln_fn.defvjp(_ln_fwd, _ln_bwd)
 
 
 class _FusedLN(nn.Module):
@@ -52,11 +99,7 @@ class _FusedLN(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
+        y = _ln_fn(x, scale, bias, self.epsilon)
         return y.astype(self.out_dtype or x.dtype)
 
 
@@ -183,7 +226,15 @@ class WindowAttention(nn.Module):
         hd = C // h
         assert h * hd == C, f"dim {C} not divisible by num_heads {h}"
 
-        qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        impl = self._resolve_impl(B, nW, ws, C, deterministic)
+        qkv_dense = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
+        if impl == "pallas":
+            # apply the projection on flattened (T, C) tokens: XLA then emits a plain
+            # 2-D matmul whose row-major (T, 3C) output feeds the Pallas call directly
+            # — the 4-D form gets a conv-style {1,3,2,0} layout and a full-tensor copy
+            qkv = qkv_dense(x.reshape(B * nW * ws, C))
+        else:
+            qkv = qkv_dense(x)
 
         # shared parameters (identical tree in both implementations)
         logit_scale = None
@@ -201,7 +252,7 @@ class WindowAttention(nn.Module):
             idx = jnp.asarray(self.rel_pos_index)  # (ws, ws)
             rel_bias = jnp.transpose(table[idx], (2, 0, 1))
 
-        if self._resolve_impl(B, nW, ws, C, deterministic) == "pallas":
+        if impl == "pallas":
             from heal_swin_tpu.ops.window_attention import fused_window_attention
 
             ls = (
@@ -217,11 +268,14 @@ class WindowAttention(nn.Module):
                 has_mask = False
             scale = self.qk_scale if self.qk_scale is not None else hd**-0.5
             out = fused_window_attention(
-                qkv.reshape(B * nW * ws, 3 * C), groups, rel_bias, ls,
+                qkv, groups, rel_bias, ls,
                 ws=ws, num_heads=h, use_cos=self.use_cos_attn, sm_scale=float(scale),
                 has_mask=has_mask, wblk=self._pallas_wblk(B * nW, ws, C),
             )
-            out = out.reshape(B, nW, ws, C)
+            # proj on the flat (T, C) kernel output for the same layout reason
+            out = dense(C, dtype=self.dtype, name="proj")(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return out.reshape(B, nW, ws, C)
         else:
             qkv = qkv.reshape(B, nW, ws, 3, h, hd)
             q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
