@@ -52,7 +52,7 @@ def main():
         cfg = SwinTransformerConfig(
             patch_size=2, window_size=8, shift_size=2, embed_dim=96,
             depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24], use_cos_attn=True,
-            use_v2_norm_placement=True, dtype="bfloat16",
+            use_v2_norm_placement=True, dtype="bfloat16", gelu_approx=True,
         )
         spec = DataSpec(dim_in=(H, W), f_in=3, f_out=n_classes)
         model = SwinTransformerSys(cfg, spec)
@@ -63,7 +63,7 @@ def main():
             patch_size=4, window_size=64, shift_size=4, shift_strategy="ring_shift",
             rel_pos_bias="flat", embed_dim=96, depths=[2, 2, 6, 2],
             num_heads=[3, 6, 12, 24], use_cos_attn=True, use_v2_norm_placement=True,
-            dtype="bfloat16",
+            dtype="bfloat16", gelu_approx=True,
         )
         spec = DataSpec(dim_in=npix, f_in=3, f_out=n_classes, base_pix=8)
         model = SwinHPTransformerSys(cfg, spec)

@@ -136,17 +136,23 @@ class DropPath(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Two-layer MLP with exact GELU (reference Mlp, swin_hp_transformer.py:21-44)."""
+    """Two-layer MLP with GELU (reference Mlp, swin_hp_transformer.py:21-44).
+
+    ``gelu_approx=False`` (default) is the reference's exact-erf GELU (torch default).
+    The tanh approximation (max |error| ~3e-4, far below bf16 resolution) avoids the
+    erf polynomial that profiles at 13 ms/step at paper scale — enable via the model
+    configs' ``gelu_approx`` TPU extension for production bf16 training."""
 
     hidden_features: int
     out_features: int
     drop: float = 0.0
     dtype: Optional[Dtype] = None
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)

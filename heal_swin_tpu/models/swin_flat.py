@@ -57,6 +57,7 @@ class SwinTransformerConfig:
     use_rel_pos_bias: bool = True
     dev_mode: bool = False
     dtype: Optional[str] = None  # TPU extension: compute dtype
+    gelu_approx: bool = False  # TPU extension: tanh GELU (bf16-indistinguishable, faster)
     attention_impl: str = "auto"  # TPU extension: "auto" | "xla" | "pallas"
 
     @property
@@ -139,6 +140,7 @@ class SwinBlock2D(nn.Module):
     use_cos_attn: bool
     use_rel_pos_bias: bool
     attention_impl: str = "auto"
+    gelu_approx: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -194,6 +196,7 @@ class SwinBlock2D(nn.Module):
             out_features=self.dim,
             drop=self.drop,
             dtype=self.dtype,
+            gelu_approx=self.gelu_approx,
             name="mlp",
         )
         dp = DropPath(self.drop_path, name="drop_path")
@@ -333,6 +336,7 @@ class SwinTransformerSys(nn.Module):
                         use_cos_attn=cfg.use_cos_attn,
                         use_rel_pos_bias=cfg.use_rel_pos_bias,
                         attention_impl=cfg.attention_impl,
+                        gelu_approx=cfg.gelu_approx,
                         dtype=dt,
                         name=f"{prefix}_block{i}",
                     )(x, deterministic)

@@ -72,6 +72,7 @@ class SwinHPTransformerConfig:
     dev_mode: bool = False
     decoder_class: str = "UnetDecoder"
     dtype: Optional[str] = None  # TPU extension: compute dtype
+    gelu_approx: bool = False  # TPU extension: tanh GELU (bf16-indistinguishable, faster)
     attention_impl: str = "auto"  # TPU extension: "auto" | "xla" | "pallas"
 
     @property
@@ -120,6 +121,7 @@ class SwinHPBlock(nn.Module):
     use_v2_norm_placement: bool
     use_cos_attn: bool
     attention_impl: str = "auto"
+    gelu_approx: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -176,6 +178,7 @@ class SwinHPBlock(nn.Module):
             out_features=self.dim,
             drop=self.drop,
             dtype=self.dtype,
+            gelu_approx=self.gelu_approx,
             name="mlp",
         )
         dp = DropPath(self.drop_path, name="drop_path")
@@ -290,6 +293,7 @@ def _make_block(cfg: SwinHPTransformerConfig, base_pix, dim, input_resolution, n
         use_v2_norm_placement=cfg.use_v2_norm_placement,
         use_cos_attn=cfg.use_cos_attn,
         attention_impl=cfg.attention_impl,
+        gelu_approx=cfg.gelu_approx,
         dtype=cfg.compute_dtype,
         name=name,
     )
