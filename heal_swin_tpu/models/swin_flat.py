@@ -356,6 +356,8 @@ class SwinTransformerSys(nn.Module):
         if cfg.patch_embed_norm_layer is not None:
             x = LayerNorm(dtype=dt, name="patch_embed_norm")(x)
 
+        if cfg.dev_mode:  # trace-time shape prints (reference swin_transformer.py:1063-1082)
+            print(f"forward_features after patch_embed: {x.shape}")
         if cfg.ape:
             ape = self.param(
                 "absolute_pos_embed", trunc_normal_init, (1, pr[0] * pr[1], cfg.embed_dim),
@@ -378,6 +380,8 @@ class SwinTransformerSys(nn.Module):
             )(x, deterministic)
             if i < num_layers - 1:
                 x = PatchMerging2D(input_resolution=res, dim=dim, dtype=dt, name=f"downsample{i}")(x)
+            if cfg.dev_mode:
+                print(f"forward_features after layer {i}: {x.shape}")
 
         x = LayerNorm(dtype=dt, name="norm")(x)
 

@@ -423,6 +423,8 @@ class SwinHPTransformerSys(nn.Module):
             name="patch_embed",
         )(x)
 
+        if cfg.dev_mode:  # trace-time shape prints (reference swin_transformer.py:1064)
+            print(f"forward_features after patch_embed: {x.shape}")
         if cfg.ape:
             ape = self.param(
                 "absolute_pos_embed", trunc_normal_init, (1, num_patches, cfg.embed_dim),
@@ -447,8 +449,12 @@ class SwinHPTransformerSys(nn.Module):
                 downsample=i_layer < num_layers - 1,
                 name=f"layer{i_layer}",
             )(x, deterministic)
+            if cfg.dev_mode:
+                print(f"forward_features after layer {i_layer}: {x.shape}")
 
         x = LayerNorm(dtype=dt, name="norm")(x)
+        if cfg.dev_mode:
+            print(f"forward_features after norm: {x.shape}")
         x = UnetDecoder(config=cfg, data_spec=spec, dpr=dpr, name="decoder")(
             x, x_downsample, deterministic
         )
