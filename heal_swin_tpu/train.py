@@ -33,6 +33,21 @@ def get_effective_batch_size(run_config, pl_config, n_devices: int) -> int:
     return run_config.data.common.batch_size * n_devices * pl_config.num_nodes * accum
 
 
+def apply_precision(run_config: SingleModelTrainRun, pl_config: PLConfig):
+    """Honor PLConfig.precision (reference Lightning AMP flag): 16 -> bfloat16 compute
+    on the inner transformer config unless the config already pins a dtype."""
+    if pl_config.precision not in (16, "16", "bf16", "bfloat16"):
+        return run_config
+    import dataclasses
+
+    mc = run_config.model
+    for field in ("swin_hp_transformer_config", "swin_transformer_config"):
+        inner = getattr(mc, field, None)
+        if inner is not None and inner.dtype is None:
+            mc = dataclasses.replace(mc, **{field: dataclasses.replace(inner, dtype="bfloat16")})
+    return dataclasses.replace(run_config, model=mc)
+
+
 def save_config(artifacts_dir: Path, run_config, pl_config, task, data_spec, config_path=None):
     """Dill-pickle the 6 config objects + verbatim config file (reference :122-146)."""
     d = Path(artifacts_dir)
@@ -52,6 +67,7 @@ def train_model(
     config_path=None,
     store: MlflowFileStore = None,
 ):
+    run_config = apply_precision(run_config, pl_config)
     train_config = run_config.train
 
     if train_config.seed is not None:

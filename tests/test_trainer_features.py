@@ -146,3 +146,28 @@ def test_grad_accumulation_matches_bigger_batch(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_precision_16_maps_to_bfloat16():
+    """PLConfig.precision=16 (the reference's Lightning AMP flag) sets bfloat16 compute
+    on the inner transformer config unless a dtype is already pinned."""
+    from heal_swin_tpu.train import apply_precision
+
+    run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+    out = apply_precision(run_config, PLConfig(precision=16))
+    assert out.model.swin_hp_transformer_config.dtype == "bfloat16"
+    # precision=32 leaves it alone
+    out32 = apply_precision(run_config, PLConfig(precision=32))
+    assert out32.model.swin_hp_transformer_config.dtype is None
+    # an explicit dtype wins
+    pinned = dataclasses.replace(
+        run_config,
+        model=dataclasses.replace(
+            run_config.model,
+            swin_hp_transformer_config=dataclasses.replace(
+                run_config.model.swin_hp_transformer_config, dtype="float32"
+            ),
+        ),
+    )
+    outp = apply_precision(pinned, PLConfig(precision=16))
+    assert outp.model.swin_hp_transformer_config.dtype == "float32"
