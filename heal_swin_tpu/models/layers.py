@@ -202,7 +202,10 @@ class WindowAttention(nn.Module):
                 + h * ws * ws * 4         # rel-pos bias (const block)
                 + 6 * w * ws * ws * 4     # s/p/mask/dp/ds f32 temps
             )
-            if est < 12 * 2**20:
+            # 15 MB threshold measured on chip: admits wblk=16 up to C=384 and
+            # wblk=8 at C=768 (each the fastest in a chain-bench sweep); the true
+            # scoped-VMEM limit is 16 MB and the estimate runs slightly low
+            if est < 15 * 2**20:
                 return w
         return None
 
