@@ -61,6 +61,10 @@ class WoodscapeHPConfig:
     input_nside: int = 256
     input_base_pix: int = 8
     shuffle_train_val_split: bool = True
+    # TPU extension: skip the on-disk projected dataset for train/val — the host loads
+    # flat images and the fisheye->HEALPix gather runs inside the jitted step
+    # (projection/device.py; predict still uses the npz pipeline)
+    project_on_device: bool = False
 
 
 @dataclass

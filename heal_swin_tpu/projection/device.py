@@ -63,14 +63,18 @@ class DeviceProjector:
         )
         self.H, self.W, self.npix_used = t0.H, t0.W, t0.npix_used
         self.n_cals = len(tabs)
-        self.idx = jnp.asarray(
-            np.stack([np.stack([t.idx00, t.idx10, t.idx01, t.idx11]) for t in tabs])
+        # keep tables as NUMPY: a DeviceProjector may be constructed lazily inside a
+        # jit trace (trainer input transform) and jnp constants created there would be
+        # tracers — caching them on self leaks the trace.  numpy operands are lifted
+        # to on-device constants at each jit call site instead.
+        self.idx = np.stack(
+            [np.stack([t.idx00, t.idx10, t.idx01, t.idx11]) for t in tabs]
         )  # (K, 4, npix) int32
-        self.w = jnp.asarray(
-            np.stack([np.stack([t.w00, t.w10, t.w01, t.w11]) for t in tabs])
+        self.w = np.stack(
+            [np.stack([t.w00, t.w10, t.w01, t.w11]) for t in tabs]
         )  # (K, 4, npix) f32
-        self.nearest = jnp.asarray(np.stack([t.nearest_idx for t in tabs]))
-        self.valid = jnp.asarray(np.stack([t.nearest_valid for t in tabs]))
+        self.nearest = np.stack([t.nearest_idx for t in tabs])
+        self.valid = np.stack([t.nearest_valid for t in tabs])
 
     def project_images(self, imgs, cal_ids: Optional[jnp.ndarray] = None):
         B, H, W, C = imgs.shape

@@ -117,17 +117,22 @@ class Trainer:
         )
 
     def _pad_batch(self, imgs, targets):
-        """Pad a ragged batch up to a multiple of n_devices; returns sample mask."""
+        """Pad a ragged batch up to a multiple of n_devices; returns sample mask.
+        ``targets`` may be an arbitrary pytree of per-sample arrays (e.g. the
+        (mask, cal_id) tuples of the on-device projection pipeline)."""
+        imgs = np.asarray(imgs)
         b = imgs.shape[0]
         target_b = -(-b // self.n_devices) * self.n_devices
         mask = np.zeros(target_b, dtype=bool)
         mask[:b] = True
-        if target_b != b:
-            pad = [(0, target_b - b)] + [(0, 0)] * (imgs.ndim - 1)
-            imgs = np.pad(imgs, pad, mode="edge")
-            tpad = [(0, target_b - b)] + [(0, 0)] * (targets.ndim - 1)
-            targets = np.pad(targets, tpad, mode="edge")
-        return imgs, targets, mask
+
+        def pad(a):
+            a = np.asarray(a)
+            if target_b == b:
+                return a
+            return np.pad(a, [(0, target_b - b)] + [(0, 0)] * (a.ndim - 1), mode="edge")
+
+        return pad(imgs), jax.tree.map(pad, targets), mask
 
     # --------------------------------------------------------------- lr find
     def lr_find(self, task, datamodule, min_lr=1e-8, max_lr=1.0, num_training=100,
@@ -151,9 +156,15 @@ class Trainer:
         if len(avail) < loader.batch_size:
             loader.indices = np.resize(avail, loader.batch_size)
 
+        transform = getattr(datamodule, "device_batch_transform", None)
         init_rng, rng = jax.random.split(rng)
-        sample_imgs, _ = next(iter(loader))
-        params = jax.jit(task.init_variables)(init_rng, jnp.asarray(sample_imgs[:1]))
+        sample_imgs, sample_targets = next(iter(loader))
+        init_imgs = jnp.asarray(sample_imgs[:1])
+        if transform is not None:
+            init_imgs, _ = jax.jit(transform)(
+                init_imgs, jax.tree.map(lambda a: jnp.asarray(a[:1]), sample_targets)
+            )
+        params = jax.jit(task.init_variables)(init_rng, init_imgs)
         tx = make_optimizer(task.optimizer_config, gradient_clip_val=self.pl.gradient_clip_val)
         opt_state = jax.jit(tx.init)(params)
         params = jax.device_put(params, self.repl)
@@ -161,6 +172,9 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, imgs, targets, step_rng):
+            if transform is not None:
+                imgs, targets = transform(imgs, targets)
+
             def lf(p):
                 return task.loss_fn(p, imgs, targets, rng=step_rng, deterministic=False)
 
@@ -231,10 +245,19 @@ class Trainer:
         if len(avail) < train_loader.batch_size:
             train_loader.indices = np.resize(avail, train_loader.batch_size)
 
+        # optional on-device input transform (e.g. the datamodule's fisheye->HEALPix
+        # projection, data/segmentation/hp_datamodule.py) — traced into the jitted step
+        transform = getattr(datamodule, "device_batch_transform", None)
+
         # params / optimizer
         init_rng, rng = jax.random.split(root_rng)
         sample_imgs, sample_targets = next(iter(train_loader))
-        params = jax.jit(task.init_variables)(init_rng, jnp.asarray(sample_imgs[:1]))
+        init_imgs = jnp.asarray(sample_imgs[:1])
+        if transform is not None:
+            init_imgs, _ = jax.jit(transform)(
+                init_imgs, jax.tree.map(lambda a: jnp.asarray(a[:1]), sample_targets)
+            )
+        params = jax.jit(task.init_variables)(init_rng, init_imgs)
 
         accum = pl.accumulate_grad_batches if isinstance(pl.accumulate_grad_batches, int) else 1
         tx = make_optimizer(task.optimizer_config, gradient_clip_val=pl.gradient_clip_val)
@@ -272,6 +295,9 @@ class Trainer:
                 out_shardings=(self.repl, self.repl, self.repl, self.repl, self.repl),
             )
             def train_step(params, opt_state, mstate, loss_acc, imgs, targets, step_rng):
+                if transform is not None:
+                    imgs, targets = transform(imgs, targets)
+
                 def lf(p):
                     return task.loss_fn(p, imgs, targets, rng=step_rng, deterministic=False)
 
@@ -285,7 +311,7 @@ class Trainer:
 
         train_step = build_train_step()
         self._train_step = train_step
-        self._get_eval_step(task)  # build + cache
+        self._get_eval_step(task, transform)  # build + cache
 
         max_epochs = pl.max_epochs if pl.max_epochs is not None else 1000
         if pl.fast_dev_run:
@@ -308,8 +334,8 @@ class Trainer:
             self.current_epoch = epoch
             if hasattr(task, "set_epoch") and task.set_epoch(epoch):
                 train_step = build_train_step()  # loss changed -> recompile once
-                self._eval_steps.pop(id(task), None)
-                self._get_eval_step(task)
+                self._eval_steps.pop((id(task), id(transform)), None)
+                self._get_eval_step(task, transform)
             train_loader.set_epoch(epoch)
             n_train_batches = _limit(len(train_loader), pl.limit_train_batches)
             if pl.fast_dev_run:
@@ -418,14 +444,16 @@ class Trainer:
         )
 
     # ------------------------------------------------------------- validation
-    def _get_eval_step(self, task):
+    def _get_eval_step(self, task, transform=None):
         cache = getattr(self, "_eval_steps", None)
         if cache is None:
             cache = self._eval_steps = {}
-        key = id(task)
+        key = (id(task), id(transform))
         if key not in cache:
             @partial(jax.jit, donate_argnums=(1,))
             def eval_step(params, mstate, imgs, targets, sample_mask):
+                if transform is not None:
+                    imgs, targets = transform(imgs, targets)
                 loss, outputs = task.loss_fn(
                     params, imgs, targets, deterministic=True, sample_mask=sample_mask
                 )
@@ -445,12 +473,14 @@ class Trainer:
 
         mstate = jax.device_put(jax.jit(task.metric_init)(), self.repl)
         loss_sum, count = 0.0, 0.0
-        eval_step = self._get_eval_step(task)
+        eval_step = self._get_eval_step(
+            task, getattr(datamodule, "device_batch_transform", None)
+        )
 
         for i, (imgs, targets) in enumerate(loader):
             if i >= n:
                 break
-            imgs, targets, mask = self._pad_batch(np.asarray(imgs), np.asarray(targets))
+            imgs, targets, mask = self._pad_batch(imgs, targets)
             imgs_d, targets_d, mask_d = self._put_batch((imgs, targets, mask))
             mstate, batch_loss, valid = eval_step(params, mstate, imgs_d, targets_d, mask_d)
             loss_sum += float(batch_loss)

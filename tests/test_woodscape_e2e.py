@@ -202,3 +202,49 @@ def test_flat_train_and_projected_eval(env):
     )
     trainer.predict(task, dm, params, writer=writer)
     assert run.get_metric_history("t_val_hp_masked_iou")
+
+
+def test_project_on_device_matches_npz_pipeline(env):
+    """project_on_device=True: the on-device projected batch must reproduce the
+    on-disk npz samples (same floor-to-uint8 grid, same nearest masks)."""
+    import dataclasses
+
+    from heal_swin_tpu.data.data import get_data_module
+
+    run_config, _ = _hp_configs()
+    dm_npz, spec_npz = get_data_module(run_config.data)
+    cfg_dev = dataclasses.replace(run_config.data, project_on_device=True)
+    dm_dev, spec_dev = get_data_module(cfg_dev)
+    assert spec_dev.dim_in == spec_npz.dim_in
+
+    # same split -> same sample order; compare the first val batch
+    imgs_npz, masks_npz = next(iter(dm_npz.val_dataloader()))
+    imgs_flat, targets = next(iter(dm_dev.val_dataloader()))
+    hp_imgs, hp_masks = dm_dev.device_batch_transform(
+        np.asarray(imgs_flat), tuple(np.asarray(t) for t in targets)
+    )
+    hp_imgs, hp_masks = np.asarray(hp_imgs), np.asarray(hp_masks)
+    assert hp_imgs.shape == np.asarray(imgs_npz).shape
+    # f32-vs-f64 bilinear can flip a floor on exact boundaries -> allow off-by-one
+    assert np.abs(hp_imgs - np.asarray(imgs_npz)).max() <= 1.0
+    assert (hp_imgs == np.asarray(imgs_npz)).mean() > 0.99
+    np.testing.assert_array_equal(hp_masks, np.asarray(masks_npz))
+
+
+def test_project_on_device_train_e2e(env):
+    """Full training epoch with the on-device projection input pipeline."""
+    import dataclasses
+
+    from heal_swin_tpu.train import train_model
+
+    run_config, pl_config = _hp_configs()
+    run_config = dataclasses.replace(
+        run_config, data=dataclasses.replace(run_config.data, project_on_device=True)
+    )
+    run_id, result = train_model(run_config, pl_config)
+    store = MlflowFileStore(str(__import__("os").environ["HEAL_SWIN_MLRUNS"]))
+    run = store.get_run(run_id)
+    assert run.status == "FINISHED"
+    for m in ["train_loss", "val_iou_global", "val_acc"]:
+        hist = run.get_metric_history(m)
+        assert hist and all(np.isfinite(v) for _, v, _ in hist), m
