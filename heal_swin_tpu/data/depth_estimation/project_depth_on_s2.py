@@ -57,6 +57,20 @@ def project_depth_dataset_hp(dataset, args):
         hp_mask = hp_mask.astype(np.float32)
         np.savez(os.path.join(save_dir, file_name + ".npz"), hp_img=hp_img, hp_mask=hp_mask)
 
+    if getattr(args, "plot_last_on_s2", False) and max_idx:
+        # reference project_depth_on_s2.py:493-501 (plot_hp_img name bug fixed)
+        from heal_swin_tpu.utils import healpy_utils
+
+        pole_adjusted = "_pole_adjusted" if args.rotate_pole else ""
+        save_name = (
+            file_name
+            + f"_on_s2_nside={args.nside}_base_pix={args.base_pix}{pole_adjusted}.png"
+        )
+        healpy_utils.plot_hp_img(
+            np.asarray(hp_img), 12 * args.nside**2, os.path.join(save_dir, save_name),
+            projection="orthview", n_colors=12,
+        )
+
 
 def add_args(parser):
     parser.add_argument("--cam_pos", type=str, choices=["fv", "rv", "mvr", "mvl"], default=None)
@@ -71,6 +85,7 @@ def add_args(parser):
     parser.add_argument("--grid", type=str, choices=["hp"], default="hp")
     parser.add_argument("--base_pix", type=int, default=8)
     parser.add_argument("--woodscape_version", type=str, default="synwoodscape")
+    parser.add_argument("--plot_last_on_s2", action="store_true")
     return parser
 
 

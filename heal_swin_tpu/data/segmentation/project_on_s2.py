@@ -53,6 +53,22 @@ def project_dataset_hp(dataset, args):
         hp_mask = tbl.apply_mask(np.asarray(mask), args.s2_bkgd_class).astype(np.uint8)
         np.savez(os.path.join(img_save_dir, file_name + ".npz"), hp_img=hp_img, hp_mask=hp_mask)
 
+    if getattr(args, "plot_last_on_s2", False) and max_idx:
+        # reference project_on_s2.py:373-381 (its plot_hp_img call is a name bug;
+        # fixed here via utils.healpy_utils)
+        from heal_swin_tpu.utils import healpy_utils, overlay as ov
+
+        overlay = ov.get_overlay(args.woodscape_version, hp_mask, hp_img)
+        pole_adjusted = "_pole_adjusted" if args.rotate_pole else ""
+        save_name = (
+            file_name
+            + f"_on_s2_nside={args.nside}_base_pix={args.base_pix}{pole_adjusted}.png"
+        )
+        healpy_utils.plot_hp_img(
+            np.asarray(overlay), 12 * args.nside**2, os.path.join(img_save_dir, save_name),
+            projection="orthview", n_colors=12,
+        )
+
 
 def add_args(parser):
     parser.add_argument("--cam_pos", type=str, choices=["fv", "rv", "mvr", "mvl"], default=None)
@@ -61,6 +77,7 @@ def add_args(parser):
     parser.add_argument("--samples", type=int, default=-1)
     parser.add_argument("--save_imgs_to", type=str, default="s2_images")
     parser.add_argument("--output_resolution", type=float, default=1)
+    parser.add_argument("--plot_last_on_s2", action="store_true")
     parser.add_argument("--crop_green", action="store_true")
     parser.add_argument("--s2_bkgd_class", type=int, default=0)
     parser.add_argument("--rotate_pole", action="store_true")
