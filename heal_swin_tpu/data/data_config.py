@@ -95,3 +95,6 @@ class WoodscapeHPDepthConfig:
     input_nside: int = 256
     input_base_pix: int = 8
     shuffle_train_val_split: bool = True
+    # TPU extension: see WoodscapeHPConfig.project_on_device (depth variant: the full
+    # 0->inf / background / transform / normalize mask pipeline runs on device too)
+    project_on_device: bool = False

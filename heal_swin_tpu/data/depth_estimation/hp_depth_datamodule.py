@@ -192,8 +192,45 @@ class WoodscapeHPDepthDataModule:
             data_transform=dc.data_transform, normalize_data=dc.normalize_data,
             mask_background=dc.mask_background, woodscape_version=self.woodscape_version,
         )
-        self.train_dataset = WoodscapeHPDepthImagesDataset(part="train", **kwargs)
-        self.val_dataset = WoodscapeHPDepthImagesDataset(part="val", **kwargs)
+        self.project_on_device = getattr(config, "project_on_device", False)
+        if self.project_on_device:
+            # on-device projection pipeline (see segmentation/hp_datamodule.py): host
+            # decodes flat image + raw depth map; projection + the full depth mask
+            # pipeline (0->inf, background, transform, normalize) run inside jit
+            assert not c.crop_green, "project_on_device does not support crop_green"
+            from heal_swin_tpu.data.depth_estimation import flat_depth_datasets as fdd
+            from heal_swin_tpu.data.segmentation.hp_datamodule import (
+                _OnDeviceProjectionDataset,
+            )
+
+            flat_kwargs = dict(
+                cam_pos=c.cam_pos, train_share=c.train_share,
+                shuffle_train_val_split=config.shuffle_train_val_split,
+                woodscape_version=self.woodscape_version,
+            )
+            self.train_dataset = _OnDeviceProjectionDataset(
+                fdd.WoodscapeDepthImagesCalibrationDataset(part="train", **flat_kwargs),
+                mask_dtype=np.float32,
+            )
+            self.val_dataset = _OnDeviceProjectionDataset(
+                fdd.WoodscapeDepthImagesCalibrationDataset(part="val", **flat_kwargs),
+                mask_dtype=np.float32,
+            )
+            merged: dict = {}
+            for ds in (self.train_dataset, self.val_dataset):
+                remap = np.zeros(max(len(ds.cal_infos), 1), dtype=np.int32)
+                for key, local_id in ds._key_to_id.items():
+                    if key not in merged:
+                        merged[key] = (len(merged), ds.cal_infos[local_id])
+                    remap[local_id] = merged[key][0]
+                ds.cal_ids = remap[ds.cal_ids]
+            self._cal_infos = [ci for _, ci in sorted(merged.values(), key=lambda t: t[0])]
+            self._projector = None
+            self.data_stats = ndd.get_depth_data_stats(dc.data_transform, dc.mask_background)
+            self.device_batch_transform = self._device_project_batch
+        else:
+            self.train_dataset = WoodscapeHPDepthImagesDataset(part="train", **kwargs)
+            self.val_dataset = WoodscapeHPDepthImagesDataset(part="val", **kwargs)
         kwargs.pop("train_share")
         pred_samples = -1 if self.overfit_batches > 0 else c.pred_samples
         self.pred_dataset = WoodscapeHPDepthImagesPredictDataset(
@@ -225,10 +262,34 @@ class WoodscapeHPDepthDataModule:
             collate_fn=default_collate,
         )
 
+    def _device_project_batch(self, imgs, targets):
+        """Traced into the jitted steps: projection + the reference's depth mask
+        pipeline (0->inf, optional 1000->inf, transform, normalize — all jnp ops,
+        hp_depth_datasets.py:90-108 semantics) on device."""
+        import jax.numpy as jnp
+
+        from heal_swin_tpu.projection.device import DeviceProjector
+
+        if self._projector is None:
+            self._projector = DeviceProjector(
+                self._cal_infos, self.nside, self.base_pix, self.rotate_pole
+            )
+        depths, cal_ids = targets
+        hp_imgs = self._projector.project_images(imgs, cal_ids)  # f32 (npz stores f32)
+        m = self._projector.project_masks(depths, cal_ids, 0)
+        m = jnp.where(m == 0.0, jnp.inf, m)
+        if self.mask_background:
+            m = jnp.where(m == 1000.0, jnp.inf, m)
+        m = ndd.mask_transform_fcn(self.data_transform)(m)
+        m = ndd.normalize_data(m, self.data_stats, self.normalize_data)
+        return hp_imgs, m.astype(jnp.float32)
+
     def get_img_features(self):
         return 3
 
     def get_img_dims(self):
+        if self.project_on_device:
+            return self.base_pix * self.nside**2
         img, _ = self.train_dataset[0]
         return img.shape[0]
 

@@ -198,3 +198,47 @@ def test_depth_hp_val_on_back_projected(env):
     for metric in ["t_val_mse_back_projected", "t_val_SILogE_back_projected",
                    "t_val_iRMSE_back_projected"]:
         assert run.get_metric_history(metric), f"{metric} missing"
+
+
+def test_depth_project_on_device_matches_npz(env):
+    """Depth project_on_device: on-device projection + mask pipeline must match the
+    npz-backed dataset (images within f32-vs-f64 bilinear tolerance, masks matching
+    the full 0->inf/transform/normalize pipeline)."""
+    import dataclasses
+
+    from heal_swin_tpu.data.data import get_data_module
+    from heal_swin_tpu.data.data_config import (
+        WoodscapeCommonConfig,
+        WoodscapeDepthCommonConfig,
+        WoodscapeHPDepthConfig,
+    )
+
+    data_config = WoodscapeHPDepthConfig(
+        common=WoodscapeCommonConfig(
+            version="synwoodscape", batch_size=1, val_batch_size=2, pred_batch_size=2,
+            pred_samples=2, train_share=0.75,
+        ),
+        common_depth=WoodscapeDepthCommonConfig(
+            mask_background=True, data_transform="log", normalize_data="standardize",
+        ),
+        input_nside=NSIDE,
+        input_base_pix=8,
+    )
+    dm_npz, spec_npz = get_data_module(data_config)
+    dm_dev, spec_dev = get_data_module(
+        dataclasses.replace(data_config, project_on_device=True)
+    )
+    assert spec_dev.dim_in == spec_npz.dim_in
+
+    imgs_npz, masks_npz = next(iter(dm_npz.val_dataloader()))
+    imgs_flat, targets = next(iter(dm_dev.val_dataloader()))
+    hp_imgs, hp_masks = dm_dev.device_batch_transform(
+        np.asarray(imgs_flat), tuple(np.asarray(t) for t in targets)
+    )
+    hp_imgs, hp_masks = np.asarray(hp_imgs), np.asarray(hp_masks)
+    np.testing.assert_allclose(hp_imgs, np.asarray(imgs_npz), rtol=1e-4, atol=1e-2)
+    npz_masks = np.asarray(masks_npz)
+    both_finite = np.isfinite(hp_masks) & np.isfinite(npz_masks)
+    assert (np.isfinite(hp_masks) == np.isfinite(npz_masks)).all()
+    np.testing.assert_allclose(hp_masks[both_finite], npz_masks[both_finite],
+                               rtol=1e-5, atol=1e-5)
