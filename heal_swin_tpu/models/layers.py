@@ -128,11 +128,33 @@ class DropPath(nn.Module):
     def __call__(self, x, deterministic: bool):
         if self.rate == 0.0 or deterministic:
             return x
-        keep = 1.0 - self.rate
+        # float(): stage rates arrive as np.float64 from np.linspace, and numpy
+        # scalars are NOT weak-typed — `x / np.float64` silently promoted the whole
+        # training-time residual stream to f32 (2x HBM on every downstream op)
+        keep = float(1.0 - self.rate)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class _QkvParams(nn.Module):
+    """Bare qkv projection parameters at nn.Dense's tree paths (kernel/bias) — the
+    projection itself runs inside the fused attention kernel."""
+
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", trunc_normal_init, (in_features, self.features),
+                            jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 class Mlp(nn.Module):
@@ -190,30 +212,32 @@ class WindowAttention(nn.Module):
         """Largest window-batch size that divides the window count and fits the ~16 MB
         scoped VMEM.  Score temps are per-window (wblk*ws*ws f32, several live), so the
         footprint is dominated by the double-buffered qkv/out/dqkv blocks."""
-        h = self.num_heads
-        # measured on v5e: 16 beats both 8 and 32 at the paper's stage-0 shape
+        # Empirical caps measured against the 16 MB scoped VMEM on chip (ws=64,
+        # bf16, full-model compile context): with the qkv projection fused into the
+        # kernel, C<=192 fits wblk=16 (and 16 beats 8/32); C=384 OOMs at 16 (20.3 MB)
+        # but fits 8; at C>=768 the f32 dW accumulator + weight const blocks get
+        # double-buffered by the allocator and OOM at any wblk, so those stages use
+        # the separate-qkv kernel (wblk=8, measured best).  Analytic estimates
+        # disagree with the Mosaic allocator in both directions; measured caps it is.
+        token_bytes = ws * C * 2
+        if token_bytes <= 192 * 64 * 2:
+            cap, fuse = 16, True
+        elif token_bytes <= 384 * 64 * 2:
+            cap, fuse = 8, True
+        else:
+            cap, fuse = 8, False
         for w in (16, 8, 4, 2, 1):
-            if n_windows % w != 0:
+            if w > cap or n_windows % w != 0:
                 continue
-            n = w * ws
-            est = (
-                2 * (n * 3 * C * 2) * 2   # qkv in + dqkv out, double-buffered bf16
-                + 2 * (n * C * 2) * 2     # out / dout blocks
-                + h * ws * ws * 4         # rel-pos bias (const block)
-                + 6 * w * ws * ws * 4     # s/p/mask/dp/ds f32 temps
-            )
-            # 15 MB threshold measured on chip: admits wblk=16 up to C=384 and
-            # wblk=8 at C=768 (each the fastest in a chain-bench sweep); the true
-            # scoped-VMEM limit is 16 MB and the estimate runs slightly low
-            if est < 15 * 2**20:
-                return w
+            return w, fuse
         return None
 
     def _resolve_impl(self, B, nW, ws, C, deterministic) -> str:
         if self.attention_impl == "xla":
             return "xla"
         dropout_active = self.attn_drop > 0.0 and not deterministic
-        wblk = self._pallas_wblk(B * nW, ws, C)
+        plan = self._pallas_wblk(B * nW, ws, C)
+        wblk = plan[0] if plan else None
         ok = (
             jax.default_backend() == "tpu"
             and wblk is not None
@@ -236,14 +260,14 @@ class WindowAttention(nn.Module):
         assert h * hd == C, f"dim {C} not divisible by num_heads {h}"
 
         impl = self._resolve_impl(B, nW, ws, C, deterministic)
-        qkv_dense = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
         if impl == "pallas":
-            # apply the projection on flattened (T, C) tokens: XLA then emits a plain
-            # 2-D matmul whose row-major (T, 3C) output feeds the Pallas call directly
-            # — the 4-D form gets a conv-style {1,3,2,0} layout and a full-tensor copy
-            qkv = qkv_dense(x.reshape(B * nW * ws, C))
+            # the qkv projection is fused INTO the attention kernel where VMEM allows
+            # (3x less kernel HBM traffic, no separate dense/layout copy); only its
+            # parameters are declared here, at nn.Dense's tree paths (qkv/kernel,bias)
+            qkv_kernel = _QkvParams(3 * C, self.qkv_bias, name="qkv")(C)
+            wblk, fuse_qkv = self._pallas_wblk(B * nW, ws, C)
         else:
-            qkv = qkv_dense(x)
+            qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
 
         # shared parameters (identical tree in both implementations)
         logit_scale = None
@@ -262,7 +286,10 @@ class WindowAttention(nn.Module):
             rel_bias = jnp.transpose(table[idx], (2, 0, 1))
 
         if impl == "pallas":
-            from heal_swin_tpu.ops.window_attention import fused_window_attention
+            from heal_swin_tpu.ops.window_attention import (
+                fused_window_attention,
+                fused_window_attention_qkv,
+            )
 
             ls = (
                 jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01))).reshape(h)
@@ -276,11 +303,26 @@ class WindowAttention(nn.Module):
                 groups = jnp.zeros((B * nW, ws), jnp.int32)
                 has_mask = False
             scale = self.qk_scale if self.qk_scale is not None else hd**-0.5
-            out = fused_window_attention(
-                qkv, groups, rel_bias, ls,
-                ws=ws, num_heads=h, use_cos=self.use_cos_attn, sm_scale=float(scale),
-                has_mask=has_mask, wblk=self._pallas_wblk(B * nW, ws, C),
-            )
+            dt = self.dtype or x.dtype
+            wq, bq = qkv_kernel
+            wq = wq.astype(dt)
+            bq = bq.astype(dt) if bq is not None else None
+            x_flat = x.reshape(B * nW * ws, C).astype(dt)
+            if fuse_qkv:
+                out = fused_window_attention_qkv(
+                    x_flat, wq, bq, groups, rel_bias, ls,
+                    ws=ws, num_heads=h, use_cos=self.use_cos_attn,
+                    sm_scale=float(scale), has_mask=has_mask, wblk=wblk,
+                )
+            else:
+                qkv_flat = x_flat @ wq
+                if bq is not None:
+                    qkv_flat = qkv_flat + bq
+                out = fused_window_attention(
+                    qkv_flat, groups, rel_bias, ls,
+                    ws=ws, num_heads=h, use_cos=self.use_cos_attn,
+                    sm_scale=float(scale), has_mask=has_mask, wblk=wblk,
+                )
             # proj on the flat (T, C) kernel output for the same layout reason
             out = dense(C, dtype=self.dtype, name="proj")(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

@@ -87,3 +87,41 @@ def test_model_attention_impl_equivalence():
     if jax.default_backend() != "tpu":
         with pytest.raises(ValueError, match="attention_impl='pallas' unsupported"):
             jax.jit(model_p.apply, static_argnums=2)(params, x, True)
+
+
+@pytest.mark.parametrize("use_cos,qkv_bias", [(True, True), (False, False)])
+def test_fused_qkv_matches_oracle(use_cos, qkv_bias):
+    """fused_window_attention_qkv (qkv projection inside the kernel) vs the jnp
+    oracle on x @ Wqkv + b: forward and every gradient."""
+    from heal_swin_tpu.ops.window_attention import fused_window_attention_qkv
+
+    ws, h, C, nw = 16, 2, 32, 16
+    T = nw * ws
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(T, C)).astype(np.float32))
+    wq = jnp.asarray((rng.normal(size=(C, 3 * C)) * 0.1).astype(np.float32))
+    bq = jnp.asarray((rng.normal(size=(3 * C,)) * 0.1).astype(np.float32)) if qkv_bias else None
+    groups = jnp.asarray(rng.integers(0, 3, (nw, ws)).astype(np.int32))
+    bias = jnp.asarray(rng.normal(size=(h, ws, ws)).astype(np.float32))
+    ls = jnp.asarray(np.exp(rng.normal(size=h)).astype(np.float32))
+
+    def ref(x, wq, bias, ls):
+        qkv = x @ wq + (bq if bq is not None else 0.0)
+        return reference_window_attention(qkv, groups, bias, ls, ws=ws, num_heads=h,
+                                          use_cos=use_cos, sm_scale=0.18)
+
+    def fused(x, wq, bias, ls):
+        return fused_window_attention_qkv(x, wq, bq, groups, bias, ls, ws=ws,
+                                          num_heads=h, use_cos=use_cos, sm_scale=0.18,
+                                          wblk=4, interpret=True)
+
+    o1, o2 = ref(x, wq, bias, ls), fused(x, wq, bias, ls)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+
+    loss = lambda f: (lambda *a: jnp.sum(jnp.sin(f(*a))))
+    g1 = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(x, wq, bias, ls)
+    g2 = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(x, wq, bias, ls)
+    for a, b in zip(g1, g2):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   atol=3e-6)
