@@ -32,6 +32,50 @@ MASK_VALUE = -100.0
 _BATCH_QK = (((2,), (2,)), ((0,), (0,)))  # (w,i,d)x(w,j,d) -> (w,i,j)
 _BATCH_AV = (((2,), (1,)), ((0,), (0,)))  # (w,i,j)x(w,j,d) -> (w,i,d)
 _BATCH_TN = (((1,), (1,)), ((0,), (0,)))  # (w,i,j)x(w,i,d) -> (w,j,d)  (transpose-first)
+_ROWS = (((1,), (0,)), ((), ()))  # (m,k)x(k,n) -> (m,n)
+
+
+def _cos_fold(qkv, C, h, scale_vec, dtype):
+    """Fold the cosine-attention q/k L2 normalization into full-width ops.
+
+    Per-head normalization on (wblk, ws, hd=32) slices runs ~10 narrow VPU passes per
+    head and profiled at 34% of the forward kernel (benchmarks/attn_ablate.py).  Here
+    the per-head inverse norms for ALL heads come from one wide square + a tiny
+    0/1-indicator matmul, are expanded back to full width by a second tiny matmul
+    (with the per-head logit scale folded into the q side), and applied as two wide
+    multiplies.  Returns (q_hat, k_hat, inv):
+      q_hat = q * scale_h / |q|_head   (low precision, (wblk, ws, C))
+      k_hat = k / |k|_head
+      inv   = (wblk, ws, 2h) f32: [1/|q| per head, 1/|k| per head]
+    so dot(q_hat, k_hat) == scale_h * cos(q, k) exactly as the reference computes it
+    (swin_hp_transformer.py:142-147), up to bf16 rounding placement.
+    """
+    hd = C // h
+    wblk, ws = qkv.shape[0], qkv.shape[1]
+    qf = qkv[:, :, :C].astype(jnp.float32)
+    kf = qkv[:, :, C:2 * C].astype(jnp.float32)
+    sq = qkv[:, :, :2 * C].astype(jnp.float32)
+    sq = sq * sq
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * C, 2 * h), 0) // hd
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * C, 2 * h), 1)
+    ind = (rows == cols).astype(jnp.float32)
+    ss = jax.lax.dot_general(
+        sq.reshape(wblk * ws, 2 * C), ind, _ROWS, preferred_element_type=jnp.float32
+    )
+    inv = jax.lax.rsqrt(jnp.maximum(ss, 1e-24))  # (wblk*ws, 2h)
+    inv_qs = inv[:, :h] * scale_vec[None, :]
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (h, C), 0)
+    cols_c = jax.lax.broadcasted_iota(jnp.int32, (h, C), 1) // hd
+    ind_t = (rows_c == cols_c).astype(jnp.float32)
+    exp_q = jax.lax.dot_general(
+        inv_qs, ind_t, _ROWS, preferred_element_type=jnp.float32
+    ).reshape(wblk, ws, C)
+    exp_k = jax.lax.dot_general(
+        inv[:, h:], ind_t, _ROWS, preferred_element_type=jnp.float32
+    ).reshape(wblk, ws, C)
+    q_hat = (qf * exp_q).astype(dtype)
+    k_hat = (kf * exp_k).astype(dtype)
+    return q_hat, k_hat, inv.reshape(wblk, ws, 2 * h)
 
 
 def reference_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads,
@@ -69,46 +113,51 @@ def reference_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads,
     return o.reshape(T, C).astype(qkv.dtype)
 
 
-def _fwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, out_ref, *, ws, C,
-                h, wblk, use_cos, has_bias, has_mask, sm_scale):
-    """Window-batched attention: qkv block (wblk, ws, 3C); each head's QK^T / AV is
-    one batched MXU dot over the wblk windows — exact per-window math, zero padding
-    FLOPs."""
+def _mask_from_groups(gcol_ref, grow_ref, has_mask):
+    if not has_mask:
+        return None
+    gc = gcol_ref[...]  # (wblk, ws, 1)
+    gr = grow_ref[...]  # (wblk, 1, ws)
+    return jnp.where(gc != gr, MASK_VALUE, 0.0).astype(jnp.float32)  # (wblk, ws, ws)
+
+
+def _attn_fwd_body(qkv, mask, bias_ref, scale_ref, out_ref, *, C, h, use_cos,
+                   has_bias, sm_scale):
+    """Window-batched attention on a (wblk, ws, 3C) qkv block; each head's QK^T / AV
+    is one batched MXU dot over the wblk windows — exact per-window math, zero
+    padding FLOPs.
+
+    Cosine flavor: q/k normalization folded into wide ops (_cos_fold), and since
+    dot(q_hat, k_hat) <= scale the softmax uses the STATIC shift scale + max(bias)
+    instead of a per-row max reduce (exact — softmax is shift invariant; exp cannot
+    overflow because s - shift <= 0)."""
     hd = C // h
-
-    mask = None
-    if has_mask:
-        gc = gcol_ref[...]  # (wblk, ws, 1)
-        gr = grow_ref[...]  # (wblk, 1, ws)
-        mask = jnp.where(gc != gr, MASK_VALUE, 0.0).astype(jnp.float32)  # (wblk, ws, ws)
-
+    if use_cos:
+        scale_vec = scale_ref[...][:, 0]  # (h,) f32
+        q_hat, k_hat, _ = _cos_fold(qkv, C, h, scale_vec, qkv.dtype)
     for head in range(h):
-        q = qkv_ref[:, :, head * hd:(head + 1) * hd]
-        k = qkv_ref[:, :, C + head * hd:C + (head + 1) * hd]
-        v = qkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
         if use_cos:
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
-            qf = qf * jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24)
-            )
-            kf = kf * jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24)
-            )
-            # bf16 operands keep the MXU at full rate; accumulation stays f32
-            s = jax.lax.dot_general(
-                qf.astype(q.dtype), kf.astype(k.dtype), _BATCH_QK,
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scale_ref[head, 0]
+            q = q_hat[:, :, head * hd:(head + 1) * hd]
+            k = k_hat[:, :, head * hd:(head + 1) * hd]
+            s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
+            if has_bias:
+                bias_h = bias_ref[head]
+                s = s + (bias_h - (jnp.max(bias_h) + scale_vec[head]))[None]
+            else:
+                s = s - scale_vec[head]
+            if mask is not None:
+                s = s + mask
         else:
+            q = qkv[:, :, head * hd:(head + 1) * hd]
+            k = qkv[:, :, C + head * hd:C + (head + 1) * hd]
             s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
             s = s * sm_scale
-        if has_bias:
-            s = s + bias_ref[head][None]
-        if mask is not None:
-            s = s + mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
+            if has_bias:
+                s = s + bias_ref[head][None]
+            if mask is not None:
+                s = s + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # (wblk, ws, ws) f32
         o = jax.lax.dot_general(
@@ -117,55 +166,63 @@ def _fwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, out_ref, *, ws
         out_ref[:, :, head * hd:(head + 1) * hd] = o.astype(out_ref.dtype)
 
 
+def _fwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, out_ref, *, ws, C,
+                h, wblk, use_cos, has_bias, has_mask, sm_scale):
+    mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
+    _attn_fwd_body(qkv_ref[...], mask, bias_ref, scale_ref, out_ref, C=C, h=h,
+                   use_cos=use_cos, has_bias=has_bias, sm_scale=sm_scale)
+
+
 def _float0_like(x):
     return jax.tree.map(lambda v: jnp.zeros(v.shape, dtype=jax.dtypes.float0), x)
 
 
-def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
-                dqkv_ref, dbias_ref, dls_ref, *, ws, C, h, wblk, use_cos, has_bias,
-                has_mask, sm_scale):
-    """Flash-style backward: recomputes the softmax from qkv in VMEM and produces
-    dqkv; dbias (h, ws, ws) and dlogit_scale (h, 1) accumulate across the sequential
-    grid into constant-index output blocks.  All dots window-batched."""
+def _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref,
+                   dls_ref, *, C, h, use_cos, has_bias, sm_scale):
+    """Flash-style backward on a (wblk, ws, 3C) qkv block: recomputes the softmax in
+    VMEM and writes dqkv; dbias (h, ws, ws) and dlogit_scale (h, 1) accumulate across
+    the sequential grid into constant-index output blocks.  All dots window-batched.
+
+    Cosine flavor: per-head normalization as in the reference backward (the wide
+    _cos_fold preamble does NOT pay for itself here — the tangent projection needs
+    the per-head f32 normalized operands anyway; measured on chip), but the softmax
+    uses the static bound shift scale + max(bias) like the forward (exact, saves the
+    per-row max reduce)."""
     hd = C // h
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dbias_ref[...] = jnp.zeros_like(dbias_ref)
-        for _hh in range(h):
-            dls_ref[_hh, 0] = 0.0
-
-    mask = None
-    if has_mask:
-        gc = gcol_ref[...]
-        gr = grow_ref[...]
-        mask = jnp.where(gc != gr, MASK_VALUE, 0.0).astype(jnp.float32)
-
     for head in range(h):
-        q = qkv_ref[:, :, head * hd:(head + 1) * hd]
-        k = qkv_ref[:, :, C + head * hd:C + (head + 1) * hd]
-        v = qkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
         do = dout_ref[:, :, head * hd:(head + 1) * hd]
 
         if use_cos:
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
-            inv_nq = jax.lax.rsqrt(jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24))
-            inv_nk = jax.lax.rsqrt(jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24))
-            qh = (qf * inv_nq).astype(q.dtype)
-            kh = (kf * inv_nk).astype(k.dtype)
+            scale = scale_ref[head, 0]
+            qf = qkv[:, :, head * hd:(head + 1) * hd].astype(jnp.float32)
+            kf = qkv[:, :, C + head * hd:C + (head + 1) * hd].astype(jnp.float32)
+            inv_nq = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24))
+            inv_nk = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24))
+            qh = (qf * inv_nq).astype(qkv.dtype)
+            kh = (kf * inv_nk).astype(qkv.dtype)
             s_hat = jax.lax.dot_general(
                 qh, kh, _BATCH_QK, preferred_element_type=jnp.float32
             )
-            s = s_hat * scale_ref[head, 0]
+            if has_bias:
+                bias_h = bias_ref[head]
+                s = s_hat * scale + (bias_h - (jnp.max(bias_h) + scale))[None]
+            else:
+                s = (s_hat - 1.0) * scale
+            if mask is not None:
+                s = s + mask
         else:
+            q = qkv[:, :, head * hd:(head + 1) * hd]
+            k = qkv[:, :, C + head * hd:C + (head + 1) * hd]
             s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
             s = s * sm_scale
-        if has_bias:
-            s = s + bias_ref[head][None]
-        if mask is not None:
-            s = s + mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
+            if has_bias:
+                s = s + bias_ref[head][None]
+            if mask is not None:
+                s = s + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # (wblk, ws, ws) f32
 
@@ -181,10 +238,10 @@ def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
         if has_bias:
             dbias_ref[head] += jnp.sum(ds, axis=0)
 
-        ds_lo = ds.astype(q.dtype)
+        ds_lo = ds.astype(qkv.dtype)
         if use_cos:
             dls_ref[head, 0] += jnp.sum(ds * s_hat)
-            dsh_lo = (ds * scale_ref[head, 0]).astype(q.dtype)
+            dsh_lo = (ds * scale).astype(qkv.dtype)
             dqh = jax.lax.dot_general(
                 dsh_lo, kh, _BATCH_AV, preferred_element_type=jnp.float32
             )
@@ -206,6 +263,21 @@ def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
         dqkv_ref[:, :, C + head * hd:C + (head + 1) * hd] = dk.astype(dqkv_ref.dtype)
 
 
+def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
+                dqkv_ref, dbias_ref, dls_ref, *, ws, C, h, wblk, use_cos, has_bias,
+                has_mask, sm_scale):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        for _hh in range(h):
+            dls_ref[_hh, 0] = 0.0
+
+    mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
+    _attn_bwd_body(qkv_ref[...], mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
+                   dbias_ref, dls_ref, C=C, h=h, use_cos=use_cos, has_bias=has_bias,
+                   sm_scale=sm_scale)
+
+
 def _fwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
                    out_ref, *, ws, C, h, wblk, use_cos, has_bias, has_mask, sm_scale,
                    has_qkv_bias):
@@ -220,55 +292,18 @@ def _fwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
         qkv = qkv + b_ref[...][None]
     qkv = qkv.astype(x_ref.dtype)
 
-    hd = C // h
-    mask = None
-    if has_mask:
-        gc = gcol_ref[...]
-        gr = grow_ref[...]
-        mask = jnp.where(gc != gr, MASK_VALUE, 0.0).astype(jnp.float32)
-
-    for head in range(h):
-        q = qkv[:, :, head * hd:(head + 1) * hd]
-        k = qkv[:, :, C + head * hd:C + (head + 1) * hd]
-        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
-        if use_cos:
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
-            qf = qf * jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24)
-            )
-            kf = kf * jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24)
-            )
-            s = jax.lax.dot_general(
-                qf.astype(q.dtype), kf.astype(k.dtype), _BATCH_QK,
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scale_ref[head, 0]
-        else:
-            s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
-            s = s * sm_scale
-        if has_bias:
-            s = s + bias_ref[head][None]
-        if mask is not None:
-            s = s + mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, _BATCH_AV, preferred_element_type=jnp.float32
-        )
-        out_ref[:, :, head * hd:(head + 1) * hd] = o.astype(out_ref.dtype)
+    mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
+    _attn_fwd_body(qkv, mask, bias_ref, scale_ref, out_ref, C=C, h=h,
+                   use_cos=use_cos, has_bias=has_bias, sm_scale=sm_scale)
 
 
 def _bwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
                    dout_ref, dx_ref, dw_ref, db_ref, dbias_ref, dls_ref, dqkv_ref, *,
                    ws, C, h, wblk, use_cos, has_bias, has_mask, sm_scale,
                    has_qkv_bias):
-    """Fused-qkv backward: recomputes qkv from x in VMEM, runs _bwd_kernel's math into
-    a VMEM scratch dqkv, then dx = dqkv W^T and grid-accumulated dW = x^T dqkv /
+    """Fused-qkv backward: recomputes qkv from x in VMEM, runs _attn_bwd_body into a
+    VMEM scratch dqkv, then dx = dqkv W^T and grid-accumulated dW = x^T dqkv /
     db = sum(dqkv)."""
-    hd = C // h
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -287,73 +322,10 @@ def _bwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
         qkv = qkv + b_ref[...][None]
     qkv = qkv.astype(x.dtype)
 
-    mask = None
-    if has_mask:
-        gc = gcol_ref[...]
-        gr = grow_ref[...]
-        mask = jnp.where(gc != gr, MASK_VALUE, 0.0).astype(jnp.float32)
-
-    for head in range(h):
-        q = qkv[:, :, head * hd:(head + 1) * hd]
-        k = qkv[:, :, C + head * hd:C + (head + 1) * hd]
-        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
-        do = dout_ref[:, :, head * hd:(head + 1) * hd]
-
-        if use_cos:
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
-            inv_nq = jax.lax.rsqrt(jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24))
-            inv_nk = jax.lax.rsqrt(jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24))
-            qh = (qf * inv_nq).astype(q.dtype)
-            kh = (kf * inv_nk).astype(k.dtype)
-            s_hat = jax.lax.dot_general(
-                qh, kh, _BATCH_QK, preferred_element_type=jnp.float32
-            )
-            s = s_hat * scale_ref[head, 0]
-        else:
-            s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
-            s = s * sm_scale
-        if has_bias:
-            s = s + bias_ref[head][None]
-        if mask is not None:
-            s = s + mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-
-        p_lo = p.astype(v.dtype)
-        dv = jax.lax.dot_general(p_lo, do, _BATCH_TN, preferred_element_type=jnp.float32)
-        dqkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(dqkv_ref.dtype)
-        dp = jax.lax.dot_general(do, v, _BATCH_QK, preferred_element_type=jnp.float32)
-        t = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - t)
-
-        if has_bias:
-            dbias_ref[head] += jnp.sum(ds, axis=0)
-
-        ds_lo = ds.astype(q.dtype)
-        if use_cos:
-            dls_ref[head, 0] += jnp.sum(ds * s_hat)
-            dsh_lo = (ds * scale_ref[head, 0]).astype(q.dtype)
-            dqh = jax.lax.dot_general(
-                dsh_lo, kh, _BATCH_AV, preferred_element_type=jnp.float32
-            )
-            dkh = jax.lax.dot_general(
-                dsh_lo, qh, _BATCH_TN, preferred_element_type=jnp.float32
-            )
-            qhf = qf * inv_nq
-            khf = kf * inv_nk
-            dq = (dqh - qhf * jnp.sum(dqh * qhf, -1, keepdims=True)) * inv_nq
-            dk = (dkh - khf * jnp.sum(dkh * khf, -1, keepdims=True)) * inv_nk
-        else:
-            dq = jax.lax.dot_general(
-                ds_lo, k, _BATCH_AV, preferred_element_type=jnp.float32
-            ) * sm_scale
-            dk = jax.lax.dot_general(
-                ds_lo, q, _BATCH_TN, preferred_element_type=jnp.float32
-            ) * sm_scale
-        dqkv_ref[:, :, head * hd:(head + 1) * hd] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, C + head * hd:C + (head + 1) * hd] = dk.astype(dqkv_ref.dtype)
+    mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
+    _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref,
+                   dls_ref, C=C, h=h, use_cos=use_cos, has_bias=has_bias,
+                   sm_scale=sm_scale)
 
     dqkv = dqkv_ref[...]
     dx = jax.lax.dot_general(
