@@ -345,10 +345,11 @@ def _bwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
 @functools.lru_cache(maxsize=None)
 def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
                     has_mask: bool, sm_scale: float, wblk: int, dtype_name: str,
-                    has_qkv_bias: bool, interpret: bool):
+                    has_qkv_bias: bool, interpret: bool, fwd_wblk: int | None = None):
     dtype = jnp.dtype(dtype_name)
+    fwd_wblk = fwd_wblk or wblk
 
-    def specs(extra_in, extra_out):
+    def specs(wblk, extra_in, extra_out):
         in_specs = [
             pl.BlockSpec((wblk, ws, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((wblk, 1, ws), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -370,16 +371,16 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
     def pallas_fwd(x, wqkv, bqkv, groups, bias, logit_scale):
         nw, gcol, grow, x3, scale_arr = prep(x, groups, logit_scale)
         kernel = functools.partial(
-            _fwd_kernel_xw, ws=ws, C=C, h=h, wblk=wblk, use_cos=use_cos,
+            _fwd_kernel_xw, ws=ws, C=C, h=h, wblk=fwd_wblk, use_cos=use_cos,
             has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
             has_qkv_bias=has_qkv_bias,
         )
-        in_specs, _ = specs([], [])
+        in_specs, _ = specs(fwd_wblk, [], [])
         out = pl.pallas_call(
             kernel,
-            grid=(nw // wblk,),
+            grid=(nw // fwd_wblk,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((fwd_wblk, ws, C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nw, ws, C), dtype),
             interpret=interpret,
@@ -403,6 +404,7 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
             has_qkv_bias=has_qkv_bias,
         )
         in_specs, _ = specs(
+            wblk,
             [pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
             [],
         )
@@ -444,15 +446,19 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
 
 def fused_window_attention_qkv(x, wqkv, bqkv, groups, bias, logit_scale, *, ws,
                                num_heads, use_cos, sm_scale, has_mask=True,
-                               wblk: int = 8, interpret: bool = False):
+                               wblk: int = 8, interpret: bool = False,
+                               fwd_wblk: int | None = None):
     """Fused qkv-projection + window attention.  x: (T, C) tokens; wqkv: (C, 3C);
     bqkv: (3C,) or None; other operands as fused_window_attention.  Returns the
-    pre-output-projection attention result (T, C)."""
+    pre-output-projection attention result (T, C).
+
+    ``fwd_wblk`` lets the forward use a bigger window block than the backward (the
+    backward holds the dqkv scratch + dW accumulators and OOMs first)."""
     C = x.shape[-1]
     has_qkv_bias = bqkv is not None
     fn = _make_fused_qkv(
         ws, C, num_heads, use_cos, bias is not None, has_mask, float(sm_scale), wblk,
-        str(x.dtype), has_qkv_bias, interpret,
+        str(x.dtype), has_qkv_bias, interpret, fwd_wblk,
     )
     if bqkv is None:
         bqkv = jnp.zeros((3 * C,), x.dtype)
