@@ -327,19 +327,19 @@ def _bwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
                    dls_ref, C=C, h=h, use_cos=use_cos, has_bias=has_bias,
                    sm_scale=sm_scale)
 
-    dqkv = dqkv_ref[...]
+    # dx / dW on the block flattened to (wblk*ws, ·): dW is ONE K=wblk*ws MXU dot
+    # instead of a wblk-loop of K=ws dots (measured: benchmarks/attn_dw_ablate.py)
+    dqkv = dqkv_ref[...].reshape(wblk * ws, 3 * C)
     dx = jax.lax.dot_general(
-        dqkv, w, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dqkv, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dx_ref[...] = dx.astype(dx_ref.dtype)
-    dw_acc = jnp.zeros((C, 3 * C), jnp.float32)
-    for wi in range(wblk):
-        dw_acc = dw_acc + jax.lax.dot_general(
-            x[wi], dqkv[wi], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-    dw_ref[...] += dw_acc
+    dx_ref[...] = dx.reshape(wblk, ws, C).astype(dx_ref.dtype)
+    dw_ref[...] += jax.lax.dot_general(
+        x.reshape(wblk * ws, C), dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     if has_qkv_bias:
-        db_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)).reshape(1, 3 * C)
+        db_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0).reshape(1, 3 * C)
 
 
 @functools.lru_cache(maxsize=None)
