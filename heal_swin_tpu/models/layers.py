@@ -256,13 +256,24 @@ class WindowAttention(nn.Module):
             cap, fuse = 8, True
         else:
             cap, fuse = 8, False
+        # The WIDE cosine backward adds two (bwd_wblk, ws, C) f32 tangent scratches,
+        # so its VMEM-fitting block is smaller at wide C (measured caps,
+        # benchmarks/attn_bwd_parts.py: C=96 -> 16, C=192 -> 8, C>=384 -> 4).
+        if self.use_cos_attn:
+            if token_bytes <= 96 * 64 * 2:
+                cos_bwd_cap = 16
+            elif token_bytes <= 192 * 64 * 2:
+                cos_bwd_cap = 8
+            else:
+                cos_bwd_cap = 4
         for w in (16, 8, 4, 2, 1):
             if w > cap or n_windows % w != 0:
                 continue
             # the FORWARD fits (and wins with) 2x the backward's block at C=384 —
             # it has no dqkv scratch / dW accumulators (measured: 0.375 -> 0.338 ms)
             fwd_w = 2 * w if (fuse and cap == 8 and n_windows % (2 * w) == 0) else w
-            return w, fuse, fwd_w
+            bwd_w = min(w, cos_bwd_cap) if self.use_cos_attn else w
+            return w, fuse, fwd_w, bwd_w
         return None
 
     def _resolve_impl(self, B, nW, ws, C, deterministic) -> str:
@@ -298,7 +309,7 @@ class WindowAttention(nn.Module):
             # (3x less kernel HBM traffic, no separate dense/layout copy); only its
             # parameters are declared here, at nn.Dense's tree paths (qkv/kernel,bias)
             qkv_kernel = _DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
-            wblk, fuse_qkv, fwd_wblk = self._pallas_wblk(B * nW, ws, C)
+            wblk, fuse_qkv, fwd_wblk, bwd_wblk = self._pallas_wblk(B * nW, ws, C)
         else:
             qkv = dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
 
@@ -346,7 +357,7 @@ class WindowAttention(nn.Module):
                     x_flat, wq, bq, groups, rel_bias, ls,
                     ws=ws, num_heads=h, use_cos=self.use_cos_attn,
                     sm_scale=float(scale), has_mask=has_mask, wblk=wblk,
-                    fwd_wblk=fwd_wblk,
+                    fwd_wblk=fwd_wblk, bwd_wblk=bwd_wblk,
                 )
             else:
                 qkv_flat = x_flat @ wq
@@ -356,6 +367,7 @@ class WindowAttention(nn.Module):
                     qkv_flat, groups, rel_bias, ls,
                     ws=ws, num_heads=h, use_cos=self.use_cos_attn,
                     sm_scale=float(scale), has_mask=has_mask, wblk=wblk,
+                    bwd_wblk=bwd_wblk,
                 )
             # proj on the flat (T, C) kernel output for the same layout reason
             out = dense(C, dtype=self.dtype, name="proj")(out)

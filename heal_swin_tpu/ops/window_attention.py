@@ -177,6 +177,100 @@ def _float0_like(x):
     return jax.tree.map(lambda v: jnp.zeros(v.shape, dtype=jax.dtypes.float0), x)
 
 
+def _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
+                            dbias_ref, dls_ref, aq_ref, bk_ref, *, C, h, has_bias):
+    """Fully-wide cosine backward: per-head work is ONLY the 6 MXU dots; all q/k
+    normalization and tangent-projection elementwise math runs at full C width, with
+    the per-head row-reductions (|q|, |k|, <dq_hat, q_hat>) as tiny 0/1-indicator
+    matmuls — the backward analogue of the forward's _cos_fold.  The per-head dq_hat
+    / dk_hat dot outputs land in f32 VMEM scratch (aq_ref / bk_ref) so the tangent
+    epilogue is two wide passes.  Measured (benchmarks/attn_bwd_parts.py): stage-0
+    bwd 4.36 -> 3.40 ms, C=384 3.42 -> 2.12 ms (at its VMEM-fitting block).
+
+    Algebra per head (scale s_h, u = 1/|q| rows, q_hat = q*u):
+      A = ds . k_hat          (unscaled)   => dq = s_h*u*(A - q_hat<A, q_hat>)
+      B = ds^T . (q_hat*s_h)  (scale-folded) => dk = v  *(B - k_hat<B, k_hat>)
+    """
+    f32 = jnp.float32
+    hd = C // h
+    wblk, ws = qkv.shape[0], qkv.shape[1]
+    rows = wblk * ws
+    scale_vec = scale_ref[...][:, 0]  # (h,) f32
+    qf = qkv[:, :, :C].astype(f32)
+    kf = qkv[:, :, C:2 * C].astype(f32)
+    sq = qkv[:, :, :2 * C].astype(f32)
+    sq = sq * sq
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (2 * C, 2 * h), 0) // hd
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (2 * C, 2 * h), 1)
+    ind2 = (r2 == c2).astype(f32)  # (2C, 2h)
+    ss = jax.lax.dot_general(sq.reshape(rows, 2 * C), ind2, _ROWS,
+                             preferred_element_type=f32)
+    inv = jax.lax.rsqrt(jnp.maximum(ss, 1e-24))  # (rows, 2h)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (h, C), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (h, C), 1) // hd
+    indt = (rc == cc).astype(f32)  # (h, C)
+    uq_exp = jax.lax.dot_general(inv[:, :h], indt, _ROWS,
+                                 preferred_element_type=f32).reshape(wblk, ws, C)
+    uk_exp = jax.lax.dot_general(inv[:, h:], indt, _ROWS,
+                                 preferred_element_type=f32).reshape(wblk, ws, C)
+    qhat = qf * uq_exp  # (wblk, ws, C) f32, unscaled normalized
+    khat = kf * uk_exp
+    scale_row = jax.lax.dot_general(scale_vec.reshape(1, h), indt, _ROWS,
+                                    preferred_element_type=f32)  # (1, C)
+    qhat_s = (qhat * scale_row[None]).astype(qkv.dtype)  # scale folded, low precision
+    khat_lo = khat.astype(qkv.dtype)
+
+    for head in range(h):
+        sl = slice(head * hd, (head + 1) * hd)
+        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        do = dout_ref[:, :, sl]
+        scale = scale_ref[head, 0]
+        qh_s = qhat_s[:, :, sl]
+        kh = khat_lo[:, :, sl]
+        s_dot = jax.lax.dot_general(qh_s, kh, _BATCH_QK, preferred_element_type=f32)
+        if has_bias:
+            bias_h = bias_ref[head]
+            s = s_dot + (bias_h - (jnp.max(bias_h) + scale))[None]
+        else:
+            s = s_dot - scale
+        if mask is not None:
+            s = s + mask
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p_lo = p.astype(v.dtype)
+        dv = jax.lax.dot_general(p_lo, do, _BATCH_TN, preferred_element_type=f32)
+        dqkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(
+            dqkv_ref.dtype)
+        dp = jax.lax.dot_general(do, v, _BATCH_QK, preferred_element_type=f32)
+        t = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - t)
+        if has_bias:
+            dbias_ref[head] += jnp.sum(ds, axis=0)
+        dls_ref[head, 0] += jnp.sum(ds * s_dot) / scale
+        ds_lo = ds.astype(qkv.dtype)
+        aq_ref[:, :, sl] = jax.lax.dot_general(ds_lo, kh, _BATCH_AV,
+                                               preferred_element_type=f32)
+        bk_ref[:, :, sl] = jax.lax.dot_general(ds_lo, qh_s, _BATCH_TN,
+                                               preferred_element_type=f32)
+
+    ind_ch = jnp.transpose(indt)  # (C, h)
+    aq = aq_ref[...]
+    rdq = jax.lax.dot_general((aq * qhat).reshape(rows, C), ind_ch, _ROWS,
+                              preferred_element_type=f32)  # (rows, h)
+    rdq_exp = jax.lax.dot_general(rdq, indt, _ROWS,
+                                  preferred_element_type=f32).reshape(wblk, ws, C)
+    suq = inv[:, :h] * scale_vec[None, :]
+    suq_exp = jax.lax.dot_general(suq, indt, _ROWS,
+                                  preferred_element_type=f32).reshape(wblk, ws, C)
+    dqkv_ref[:, :, :C] = ((aq - qhat * rdq_exp) * suq_exp).astype(dqkv_ref.dtype)
+    bk = bk_ref[...]
+    rdk = jax.lax.dot_general((bk * khat).reshape(rows, C), ind_ch, _ROWS,
+                              preferred_element_type=f32)
+    rdk_exp = jax.lax.dot_general(rdk, indt, _ROWS,
+                                  preferred_element_type=f32).reshape(wblk, ws, C)
+    dqkv_ref[:, :, C:2 * C] = ((bk - khat * rdk_exp) * uk_exp).astype(dqkv_ref.dtype)
+
+
 def _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref,
                    dls_ref, *, C, h, use_cos, has_bias, sm_scale):
     """Flash-style backward on a (wblk, ws, 3C) qkv block: recomputes the softmax in
@@ -264,8 +358,8 @@ def _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref
 
 
 def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
-                dqkv_ref, dbias_ref, dls_ref, *, ws, C, h, wblk, use_cos, has_bias,
-                has_mask, sm_scale):
+                dqkv_ref, dbias_ref, dls_ref, *scratches, ws, C, h, wblk, use_cos,
+                has_bias, has_mask, sm_scale):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
@@ -273,9 +367,15 @@ def _bwd_kernel(gcol_ref, grow_ref, qkv_ref, bias_ref, scale_ref, dout_ref,
             dls_ref[_hh, 0] = 0.0
 
     mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
-    _attn_bwd_body(qkv_ref[...], mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
-                   dbias_ref, dls_ref, C=C, h=h, use_cos=use_cos, has_bias=has_bias,
-                   sm_scale=sm_scale)
+    if use_cos:
+        aq_ref, bk_ref = scratches
+        _attn_bwd_body_cos_wide(qkv_ref[...], mask, bias_ref, scale_ref, dout_ref,
+                                dqkv_ref, dbias_ref, dls_ref, aq_ref, bk_ref,
+                                C=C, h=h, has_bias=has_bias)
+    else:
+        _attn_bwd_body(qkv_ref[...], mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
+                       dbias_ref, dls_ref, C=C, h=h, use_cos=False,
+                       has_bias=has_bias, sm_scale=sm_scale)
 
 
 def _fwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
@@ -298,12 +398,12 @@ def _fwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
 
 
 def _bwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
-                   dout_ref, dx_ref, dw_ref, db_ref, dbias_ref, dls_ref, dqkv_ref, *,
-                   ws, C, h, wblk, use_cos, has_bias, has_mask, sm_scale,
+                   dout_ref, dx_ref, dw_ref, db_ref, dbias_ref, dls_ref, dqkv_ref,
+                   *scratches, ws, C, h, wblk, use_cos, has_bias, has_mask, sm_scale,
                    has_qkv_bias):
-    """Fused-qkv backward: recomputes qkv from x in VMEM, runs _attn_bwd_body into a
-    VMEM scratch dqkv, then dx = dqkv W^T and grid-accumulated dW = x^T dqkv /
-    db = sum(dqkv)."""
+    """Fused-qkv backward: recomputes qkv from x in VMEM, runs the attention backward
+    body into a VMEM scratch dqkv, then dx = dqkv W^T and grid-accumulated
+    dW = x^T dqkv / db = sum(dqkv)."""
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -323,9 +423,15 @@ def _bwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
     qkv = qkv.astype(x.dtype)
 
     mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
-    _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref,
-                   dls_ref, C=C, h=h, use_cos=use_cos, has_bias=has_bias,
-                   sm_scale=sm_scale)
+    if use_cos:
+        aq_ref, bk_ref = scratches
+        _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
+                                dbias_ref, dls_ref, aq_ref, bk_ref, C=C, h=h,
+                                has_bias=has_bias)
+    else:
+        _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref,
+                       dls_ref, C=C, h=h, use_cos=False, has_bias=has_bias,
+                       sm_scale=sm_scale)
 
     # dx / dW on the block flattened to (wblk*ws, ·): dW is ONE K=wblk*ws MXU dot
     # instead of a wblk-loop of K=ws dots (measured: benchmarks/attn_dw_ablate.py)
@@ -345,9 +451,11 @@ def _bwd_kernel_xw(gcol_ref, grow_ref, x_ref, w_ref, b_ref, bias_ref, scale_ref,
 @functools.lru_cache(maxsize=None)
 def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
                     has_mask: bool, sm_scale: float, wblk: int, dtype_name: str,
-                    has_qkv_bias: bool, interpret: bool, fwd_wblk: int | None = None):
+                    has_qkv_bias: bool, interpret: bool, fwd_wblk: int | None = None,
+                    bwd_wblk: int | None = None):
     dtype = jnp.dtype(dtype_name)
     fwd_wblk = fwd_wblk or wblk
+    bwd_wblk = bwd_wblk or wblk
 
     def specs(wblk, extra_in, extra_out):
         in_specs = [
@@ -398,22 +506,26 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
 
     def pallas_bwd(x, wqkv, bqkv, groups, bias, logit_scale, dout):
         nw, gcol, grow, x3, scale_arr = prep(x, groups, logit_scale)
+        bw = bwd_wblk
         kernel = functools.partial(
-            _bwd_kernel_xw, ws=ws, C=C, h=h, wblk=wblk, use_cos=use_cos,
+            _bwd_kernel_xw, ws=ws, C=C, h=h, wblk=bw, use_cos=use_cos,
             has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
             has_qkv_bias=has_qkv_bias,
         )
         in_specs, _ = specs(
-            wblk,
-            [pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+            bw,
+            [pl.BlockSpec((bw, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
             [],
         )
+        scratch_shapes = [pltpu.VMEM((bw, ws, 3 * C), dtype)]
+        if use_cos:
+            scratch_shapes += [pltpu.VMEM((bw, ws, C), jnp.float32) for _ in range(2)]
         dx, dw, db, dbias, dls = pl.pallas_call(
             kernel,
-            grid=(nw // wblk,),
+            grid=(nw // bw,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((C, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -426,7 +538,7 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
                 jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((wblk, ws, 3 * C), dtype)],
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(gcol, grow, x3, wqkv, bqkv.reshape(1, 3 * C), bias, scale_arr,
           dout.reshape(nw, ws, C))
@@ -447,18 +559,20 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
 def fused_window_attention_qkv(x, wqkv, bqkv, groups, bias, logit_scale, *, ws,
                                num_heads, use_cos, sm_scale, has_mask=True,
                                wblk: int = 8, interpret: bool = False,
-                               fwd_wblk: int | None = None):
+                               fwd_wblk: int | None = None,
+                               bwd_wblk: int | None = None):
     """Fused qkv-projection + window attention.  x: (T, C) tokens; wqkv: (C, 3C);
     bqkv: (3C,) or None; other operands as fused_window_attention.  Returns the
     pre-output-projection attention result (T, C).
 
-    ``fwd_wblk`` lets the forward use a bigger window block than the backward (the
-    backward holds the dqkv scratch + dW accumulators and OOMs first)."""
+    ``fwd_wblk`` / ``bwd_wblk`` let the forward and backward use different window
+    blocks than ``wblk``: the backward holds the dqkv scratch + dW accumulators
+    (+ two f32 tangent scratches for cosine attention) and OOMs first."""
     C = x.shape[-1]
     has_qkv_bias = bqkv is not None
     fn = _make_fused_qkv(
         ws, C, num_heads, use_cos, bias is not None, has_mask, float(sm_scale), wblk,
-        str(x.dtype), has_qkv_bias, interpret, fwd_wblk,
+        str(x.dtype), has_qkv_bias, interpret, fwd_wblk, bwd_wblk,
     )
     if bqkv is None:
         bqkv = jnp.zeros((3 * C,), x.dtype)
@@ -471,8 +585,10 @@ def fused_window_attention_qkv(x, wqkv, bqkv, groups, bias, logit_scale, *, ws,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask: bool,
-                sm_scale: float, wblk: int, dtype_name: str, interpret: bool):
+                sm_scale: float, wblk: int, dtype_name: str, interpret: bool,
+                bwd_wblk: int | None = None):
     dtype = jnp.dtype(dtype_name)
+    bwd_wblk = bwd_wblk or wblk
 
     def pallas_fwd(qkv, groups, bias, logit_scale):
         T = qkv.shape[0]
@@ -514,29 +630,33 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
     def pallas_bwd(qkv, groups, bias, logit_scale, dout):
         T = qkv.shape[0]
         nw = T // ws
-        grid = (nw // wblk,)
+        bw = bwd_wblk
+        grid = (nw // bw,)
         kernel = functools.partial(
-            _bwd_kernel, ws=ws, C=C, h=h, wblk=wblk, use_cos=use_cos,
+            _bwd_kernel, ws=ws, C=C, h=h, wblk=bw, use_cos=use_cos,
             has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
         )
         scale_arr = logit_scale.reshape(h, 1).astype(jnp.float32)
         g = groups.astype(jnp.int32)
         gcol = g.reshape(nw, ws, 1)
         grow = g.reshape(nw, 1, ws)
+        scratch_shapes = (
+            [pltpu.VMEM((bw, ws, C), jnp.float32) for _ in range(2)] if use_cos else []
+        )
         dqkv, dbias, dls = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((wblk, ws, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wblk, 1, ws), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wblk, ws, 3 * C), lambda i: (i, 0, 0),
+                pl.BlockSpec((bw, ws, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, 1, ws), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, ws, 3 * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((wblk, ws, 3 * C), lambda i: (i, 0, 0),
+                pl.BlockSpec((bw, ws, 3 * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -546,6 +666,7 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
                 jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
             ],
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(gcol, grow, qkv.reshape(nw, ws, 3 * C), bias, scale_arr,
           dout.reshape(nw, ws, C))
@@ -573,13 +694,13 @@ def supported(backend: str, T: int, ws: int, num_heads: int, C: int,
 
 def fused_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads, use_cos,
                            sm_scale, has_mask=True, wblk: int = 8,
-                           interpret: bool = False):
+                           interpret: bool = False, bwd_wblk: int | None = None):
     """Entry point.  qkv: (T, 3C); groups: (T//ws, ws) int32; bias: (h, ws, ws) f32 or
     None; logit_scale: (h,) f32 (pre-exp'd) or None.  Returns (T, C)."""
     C = qkv.shape[-1] // 3
     fn = _make_fused(
         ws, C, num_heads, use_cos, bias is not None, has_mask, float(sm_scale), wblk,
-        str(qkv.dtype), interpret,
+        str(qkv.dtype), interpret, bwd_wblk,
     )
     if bias is None:
         bias = jnp.zeros((num_heads, ws, ws), jnp.float32)
