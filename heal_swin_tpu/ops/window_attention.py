@@ -113,6 +113,19 @@ def reference_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads,
     return o.reshape(T, C).astype(qkv.dtype)
 
 
+def _shift_bias(bias, logit_scale, use_cos, has_bias):
+    """Pre-shift the rel-pos bias by -(max(bias) + scale) for the cosine kernels'
+    static-bound softmax, hoisting the per-grid-step max reduce out of the kernel.
+    Exact: softmax is shift-invariant, and the true dbias equals the kernel's
+    sum-of-ds (row sums of ds are identically zero, so the shift carries no
+    gradient)."""
+    if use_cos and has_bias:
+        h = bias.shape[0]
+        return bias - (jnp.max(bias, axis=(1, 2), keepdims=True)
+                       + logit_scale.reshape(h, 1, 1))
+    return bias
+
+
 def _mask_from_groups(gcol_ref, grow_ref, has_mask):
     if not has_mask:
         return None
@@ -142,8 +155,8 @@ def _attn_fwd_body(qkv, mask, bias_ref, scale_ref, out_ref, *, C, h, use_cos,
             k = k_hat[:, :, head * hd:(head + 1) * hd]
             s = jax.lax.dot_general(q, k, _BATCH_QK, preferred_element_type=jnp.float32)
             if has_bias:
-                bias_h = bias_ref[head]
-                s = s + (bias_h - (jnp.max(bias_h) + scale_vec[head]))[None]
+                # bias arrives pre-shifted by -(max(bias) + scale) (see _shift_bias)
+                s = s + bias_ref[head][None]
             else:
                 s = s - scale_vec[head]
             if mask is not None:
@@ -229,8 +242,8 @@ def _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
         kh = khat_lo[:, :, sl]
         s_dot = jax.lax.dot_general(qh_s, kh, _BATCH_QK, preferred_element_type=f32)
         if has_bias:
-            bias_h = bias_ref[head]
-            s = s_dot + (bias_h - (jnp.max(bias_h) + scale))[None]
+            # bias arrives pre-shifted by -(max(bias) + scale) (see _shift_bias)
+            s = s_dot + bias_ref[head][None]
         else:
             s = s_dot - scale
         if mask is not None:
@@ -478,6 +491,7 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
 
     def pallas_fwd(x, wqkv, bqkv, groups, bias, logit_scale):
         nw, gcol, grow, x3, scale_arr = prep(x, groups, logit_scale)
+        bias = _shift_bias(bias, logit_scale, use_cos, has_bias)
         kernel = functools.partial(
             _fwd_kernel_xw, ws=ws, C=C, h=h, wblk=fwd_wblk, use_cos=use_cos,
             has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
@@ -506,6 +520,7 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
 
     def pallas_bwd(x, wqkv, bqkv, groups, bias, logit_scale, dout):
         nw, gcol, grow, x3, scale_arr = prep(x, groups, logit_scale)
+        bias = _shift_bias(bias, logit_scale, use_cos, has_bias)
         bw = bwd_wblk
         kernel = functools.partial(
             _bwd_kernel_xw, ws=ws, C=C, h=h, wblk=bw, use_cos=use_cos,
@@ -593,6 +608,7 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
     def pallas_fwd(qkv, groups, bias, logit_scale):
         T = qkv.shape[0]
         nw = T // ws
+        bias = _shift_bias(bias, logit_scale, use_cos, has_bias)
         grid = (nw // wblk,)
         kernel = functools.partial(
             _fwd_kernel, ws=ws, C=C, h=h, wblk=wblk, use_cos=use_cos,
@@ -630,6 +646,7 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
     def pallas_bwd(qkv, groups, bias, logit_scale, dout):
         T = qkv.shape[0]
         nw = T // ws
+        bias = _shift_bias(bias, logit_scale, use_cos, has_bias)
         bw = bwd_wblk
         grid = (nw // bw,)
         kernel = functools.partial(
