@@ -158,6 +158,24 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParamsInner(nn.Module):
+    @nn.compact
+    def __call__(self, d: int):
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return scale, bias
+
+
+class _LNParams(nn.Module):
+    """Bare LayerNorm parameters at the LayerNorm module's tree paths (ln/scale,
+    ln/bias) — for norms that may run inside a fused Pallas kernel while staying
+    checkpoint-compatible with the LayerNorm variant."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        return _LNParamsInner(name="ln")(d)
+
+
 class Mlp(nn.Module):
     """Two-layer MLP with GELU (reference Mlp, swin_hp_transformer.py:21-44).
 
@@ -296,8 +314,33 @@ class WindowAttention(nn.Module):
             )
         return "pallas" if ok else "xla"
 
+    def _epi_wblks(self, n_windows: int, ws: int, C: int):
+        """(fwd_wblk, bwd_wblk) for the epilogue-fused kernels, or None if the
+        backward's extra scratches (cached softmax (h*bwd_wblk, ws, ws) f32 + o +
+        proj dW) don't leave a fitting block.  Measured caps
+        (benchmarks/attn_epi_probe.py)."""
+        token_bytes = ws * C * 2
+        if token_bytes <= 96 * 64 * 2:
+            fw, bw = 16, 16
+        elif token_bytes <= 192 * 64 * 2:
+            fw, bw = 16, 8
+        else:
+            fw, bw = 16, 4
+        while fw > 1 and n_windows % fw != 0:
+            fw //= 2
+        while bw > 1 and n_windows % bw != 0:
+            bw //= 2
+        if n_windows % fw != 0 or n_windows % bw != 0:
+            return None
+        return fw, bw
+
     @nn.compact
-    def __call__(self, x, win_groups=None, deterministic: bool = True):
+    def __call__(self, x, win_groups=None, deterministic: bool = True,
+                 ln_params=None):
+        """``ln_params``: optional (scale, bias) of a LayerNorm applied to the
+        attention output (after the output projection) — the SWIN-v2 res-post-norm,
+        hoisted into this module so it can fuse into the Pallas kernel (LN is
+        per-token, so it commutes with the block's inverse shift)."""
         B, nW, ws, C = x.shape
         h = self.num_heads
         hd = C // h
@@ -333,6 +376,7 @@ class WindowAttention(nn.Module):
             from heal_swin_tpu.ops.window_attention import (
                 fused_window_attention,
                 fused_window_attention_qkv,
+                fused_window_attention_qkv_epi,
             )
 
             ls = (
@@ -352,6 +396,25 @@ class WindowAttention(nn.Module):
             wq = wq.astype(dt)
             bq = bq.astype(dt) if bq is not None else None
             x_flat = x.reshape(B * nW * ws, C).astype(dt)
+            epi_wblks = self._epi_wblks(B * nW, ws, C)
+            if (
+                fuse_qkv
+                and self.use_cos_attn
+                and (self.proj_drop == 0.0 or deterministic)
+                and epi_wblks is not None
+            ):
+                # fold the output projection (+ the caller's res-post-norm LN, if
+                # given) into the kernel — see ops/window_attention.py epilogue
+                wp_k, bp_k = _DenseParams(C, True, name="proj")(C)
+                ln_s, ln_b = ln_params if ln_params is not None else (None, None)
+                out = fused_window_attention_qkv_epi(
+                    x_flat, wq, bq, wp_k.astype(dt), bp_k.astype(dt), ln_s, ln_b,
+                    groups, rel_bias, ls, ws=ws, num_heads=h, sm_scale=float(scale),
+                    has_mask=has_mask, wblk=wblk, fwd_wblk=epi_wblks[0],
+                    bwd_wblk=epi_wblks[1],
+                )
+                out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+                return out.reshape(B, nW, ws, C)
             if fuse_qkv:
                 out = fused_window_attention_qkv(
                     x_flat, wq, bq, groups, rel_bias, ls,
@@ -372,6 +435,9 @@ class WindowAttention(nn.Module):
             # proj on the flat (T, C) kernel output for the same layout reason
             out = dense(C, dtype=self.dtype, name="proj")(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            if ln_params is not None:
+                out = _ln_fn(out, ln_params[0], ln_params[1], 1e-5).astype(
+                    self.dtype or x.dtype)
             return out.reshape(B, nW, ws, C)
         else:
             qkv = qkv.reshape(B, nW, ws, 3, h, hd)
@@ -412,4 +478,7 @@ class WindowAttention(nn.Module):
 
         out = dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if ln_params is not None:
+            out = _ln_fn(out, ln_params[0], ln_params[1], 1e-5).astype(
+                self.dtype or x.dtype)
         return out

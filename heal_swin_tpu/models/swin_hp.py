@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from heal_swin_tpu.data.data_spec import DataSpec
 from heal_swin_tpu.models.layers import (
+    _LNParams,
     DropPath,
     LayerNorm,
     Mlp,
@@ -150,6 +151,10 @@ class SwinHPBlock(nn.Module):
 
         rel_idx = _rel_pos_index_nested(ws) if self.rel_pos_bias == "flat" else None
         side = int(round(np.sqrt(ws)))
+        # v2 res-post-norm: norm1 applies to the attention output; it is per-token,
+        # so it commutes with the inverse shift and is hoisted INTO WindowAttention
+        # (where it can fuse into the Pallas kernel's epilogue)
+        ln1 = _LNParams(name="norm1")(C) if self.use_v2_norm_placement else None
         x = WindowAttention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -163,7 +168,7 @@ class SwinHPBlock(nn.Module):
             attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
-        )(x, win_groups=spec.win_groups, deterministic=deterministic)
+        )(x, win_groups=spec.win_groups, deterministic=deterministic, ln_params=ln1)
 
         x = x.reshape(B, N, C)
 
@@ -183,7 +188,8 @@ class SwinHPBlock(nn.Module):
         )
         dp = DropPath(self.drop_path, name="drop_path")
         if self.use_v2_norm_placement:
-            x = shortcut + dp(LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic)
+            # norm1 already applied inside WindowAttention (fused epilogue)
+            x = shortcut + dp(x, deterministic)
             x = x + dp(
                 LayerNorm(dtype=self.dtype, name="norm2")(mlp(x, deterministic)), deterministic
             )

@@ -204,11 +204,22 @@ def _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
       A = ds . k_hat          (unscaled)   => dq = s_h*u*(A - q_hat<A, q_hat>)
       B = ds^T . (q_hat*s_h)  (scale-folded) => dk = v  *(B - k_hat<B, k_hat>)
     """
+    pre = _cos_wide_preamble(qkv, C, h, scale_ref[...][:, 0])
+    for head in range(h):
+        do = dout_ref[:, :, head * (C // h):(head + 1) * (C // h)]
+        _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do, dqkv_ref, dbias_ref,
+                           dls_ref, aq_ref, bk_ref, pre, head, C=C, h=h,
+                           has_bias=has_bias)
+    _cos_wide_tangent(aq_ref, bk_ref, pre, dqkv_ref, C=C, h=h)
+
+
+def _cos_wide_preamble(qkv, C, h, scale_vec):
+    """Wide f32 normalized q/k operands + per-head inverse norms for the wide cosine
+    backward (see _attn_bwd_body_cos_wide docstring)."""
     f32 = jnp.float32
     hd = C // h
     wblk, ws = qkv.shape[0], qkv.shape[1]
     rows = wblk * ws
-    scale_vec = scale_ref[...][:, 0]  # (h,) f32
     qf = qkv[:, :, :C].astype(f32)
     kf = qkv[:, :, C:2 * C].astype(f32)
     sq = qkv[:, :, :2 * C].astype(f32)
@@ -222,9 +233,9 @@ def _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
     rc = jax.lax.broadcasted_iota(jnp.int32, (h, C), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (h, C), 1) // hd
     indt = (rc == cc).astype(f32)  # (h, C)
-    uq_exp = jax.lax.dot_general(inv[:, :h], indt, _ROWS,
-                                 preferred_element_type=f32).reshape(wblk, ws, C)
     uk_exp = jax.lax.dot_general(inv[:, h:], indt, _ROWS,
+                                 preferred_element_type=f32).reshape(wblk, ws, C)
+    uq_exp = jax.lax.dot_general(inv[:, :h], indt, _ROWS,
                                  preferred_element_type=f32).reshape(wblk, ws, C)
     qhat = qf * uq_exp  # (wblk, ws, C) f32, unscaled normalized
     khat = kf * uk_exp
@@ -232,47 +243,72 @@ def _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
                                     preferred_element_type=f32)  # (1, C)
     qhat_s = (qhat * scale_row[None]).astype(qkv.dtype)  # scale folded, low precision
     khat_lo = khat.astype(qkv.dtype)
+    return dict(inv=inv, indt=indt, uk_exp=uk_exp, qhat=qhat, khat=khat,
+                qhat_s=qhat_s, khat_lo=khat_lo, scale_vec=scale_vec)
 
-    for head in range(h):
-        sl = slice(head * hd, (head + 1) * hd)
-        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
-        do = dout_ref[:, :, sl]
-        scale = scale_ref[head, 0]
-        qh_s = qhat_s[:, :, sl]
-        kh = khat_lo[:, :, sl]
-        s_dot = jax.lax.dot_general(qh_s, kh, _BATCH_QK, preferred_element_type=f32)
-        if has_bias:
-            # bias arrives pre-shifted by -(max(bias) + scale) (see _shift_bias)
-            s = s_dot + bias_ref[head][None]
-        else:
-            s = s_dot - scale
-        if mask is not None:
-            s = s + mask
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        p_lo = p.astype(v.dtype)
-        dv = jax.lax.dot_general(p_lo, do, _BATCH_TN, preferred_element_type=f32)
-        dqkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(
-            dqkv_ref.dtype)
-        dp = jax.lax.dot_general(do, v, _BATCH_QK, preferred_element_type=f32)
-        t = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - t)
-        if has_bias:
-            dbias_ref[head] += jnp.sum(ds, axis=0)
-        dls_ref[head, 0] += jnp.sum(ds * s_dot) / scale
-        ds_lo = ds.astype(qkv.dtype)
-        aq_ref[:, :, sl] = jax.lax.dot_general(ds_lo, kh, _BATCH_AV,
-                                               preferred_element_type=f32)
-        bk_ref[:, :, sl] = jax.lax.dot_general(ds_lo, qh_s, _BATCH_TN,
-                                               preferred_element_type=f32)
 
+def _cos_wide_softmax(qkv, mask, bias_ref, scale_ref, pre, head, *, C, h, has_bias):
+    """Per-head probabilities (f32) from the wide preamble's folded operands."""
+    hd = C // h
+    sl = slice(head * hd, (head + 1) * hd)
+    s_dot = jax.lax.dot_general(pre["qhat_s"][:, :, sl], pre["khat_lo"][:, :, sl],
+                                _BATCH_QK, preferred_element_type=jnp.float32)
+    if has_bias:
+        # bias arrives pre-shifted by -(max(bias) + scale) (see _shift_bias)
+        s = s_dot + bias_ref[head][None]
+    else:
+        s = s_dot - scale_ref[head, 0]
+    if mask is not None:
+        s = s + mask
+    e = jnp.exp(s)
+    return s_dot, e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do, dqkv_ref, dbias_ref,
+                       dls_ref, aq_ref, bk_ref, pre, head, *, C, h, has_bias,
+                       p=None, s_dot=None):
+    """dv / dbias / dls / tangent-dot inputs for one head.  Pass precomputed
+    (s_dot, p) to skip the softmax recompute (epilogue-fused backward caches p)."""
+    f32 = jnp.float32
+    hd = C // h
+    sl = slice(head * hd, (head + 1) * hd)
+    v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+    if p is None:
+        s_dot, p = _cos_wide_softmax(qkv, mask, bias_ref, scale_ref, pre, head,
+                                     C=C, h=h, has_bias=has_bias)
+    elif s_dot is None:  # p cached (epilogue backward) — dls still needs the scores
+        s_dot = jax.lax.dot_general(pre["qhat_s"][:, :, sl], pre["khat_lo"][:, :, sl],
+                                    _BATCH_QK, preferred_element_type=f32)
+    p_lo = p.astype(v.dtype)
+    dv = jax.lax.dot_general(p_lo, do, _BATCH_TN, preferred_element_type=f32)
+    dqkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(
+        dqkv_ref.dtype)
+    dp = jax.lax.dot_general(do, v, _BATCH_QK, preferred_element_type=f32)
+    t = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - t)
+    if has_bias:
+        dbias_ref[head] += jnp.sum(ds, axis=0)
+    dls_ref[head, 0] += jnp.sum(ds * s_dot) / scale_ref[head, 0]
+    ds_lo = ds.astype(qkv.dtype)
+    aq_ref[:, :, sl] = jax.lax.dot_general(ds_lo, pre["khat_lo"][:, :, sl],
+                                           _BATCH_AV, preferred_element_type=f32)
+    bk_ref[:, :, sl] = jax.lax.dot_general(ds_lo, pre["qhat_s"][:, :, sl],
+                                           _BATCH_TN, preferred_element_type=f32)
+
+
+def _cos_wide_tangent(aq_ref, bk_ref, pre, dqkv_ref, *, C, h):
+    """Wide tangent-projection epilogue: dq/dk from the accumulated per-head dots."""
+    f32 = jnp.float32
+    qhat, khat, inv, indt = pre["qhat"], pre["khat"], pre["inv"], pre["indt"]
+    wblk, ws = qhat.shape[0], qhat.shape[1]
+    rows = wblk * ws
     ind_ch = jnp.transpose(indt)  # (C, h)
     aq = aq_ref[...]
     rdq = jax.lax.dot_general((aq * qhat).reshape(rows, C), ind_ch, _ROWS,
                               preferred_element_type=f32)  # (rows, h)
     rdq_exp = jax.lax.dot_general(rdq, indt, _ROWS,
                                   preferred_element_type=f32).reshape(wblk, ws, C)
-    suq = inv[:, :h] * scale_vec[None, :]
+    suq = inv[:, :h] * pre["scale_vec"][None, :]
     suq_exp = jax.lax.dot_general(suq, indt, _ROWS,
                                   preferred_element_type=f32).reshape(wblk, ws, C)
     dqkv_ref[:, :, :C] = ((aq - qhat * rdq_exp) * suq_exp).astype(dqkv_ref.dtype)
@@ -281,7 +317,8 @@ def _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
                               preferred_element_type=f32)
     rdk_exp = jax.lax.dot_general(rdk, indt, _ROWS,
                                   preferred_element_type=f32).reshape(wblk, ws, C)
-    dqkv_ref[:, :, C:2 * C] = ((bk - khat * rdk_exp) * uk_exp).astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, C:2 * C] = ((bk - khat * rdk_exp) * pre["uk_exp"]).astype(
+        dqkv_ref.dtype)
 
 
 def _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref,
@@ -724,3 +761,333 @@ def fused_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads, use
     if logit_scale is None:
         logit_scale = jnp.zeros((num_heads,), jnp.float32)
     return fn(qkv, groups, bias, logit_scale)
+
+
+# ---------------------------------------------------------------------------------
+# Epilogue-fused variant: qkv projection + window attention + OUTPUT projection
+# (+ optional LayerNorm, for the SWIN-v2 res-post-norm placement).
+#
+# The v2 block computes  shortcut + DropPath(LN(attn(shift(x)) @ Wp))  with the LN
+# applied after the inverse shift — but LN is per-token, so it commutes with the
+# permutation and can run INSIDE the kernel.  Fusing proj+LN removes ~5 XLA passes
+# over the (T, C) activation per block (proj fwd, LN fwd, LN bwd, proj bwd dX/dW)
+# plus their layout copies; the backward recomputes attention, caches the per-head
+# softmax in a VMEM scratch, and chains LN^T -> proj^T -> attention^T without
+# touching HBM.  Cosine attention only (the flagship config).
+# ---------------------------------------------------------------------------------
+
+
+def _proj_ln_fwd(o_lo, wp_ref, bp_ref, g_ref, be_ref, *, has_ln, ln_eps):
+    """u = o @ Wp + bp with f32 accumulation; optional LayerNorm with f32 stats.
+    Returns z (f32, (wblk, ws, C))."""
+    f32 = jnp.float32
+    u = jax.lax.dot_general(o_lo, wp_ref[...], (((2,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    u = u + bp_ref[...][None].astype(f32)
+    if not has_ln:
+        return u
+    mean = jnp.mean(u, axis=-1, keepdims=True)
+    xc = u - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    return xc * rstd * g_ref[...][None] + be_ref[...][None]
+
+
+def _fwd_kernel_xw_epi(gcol_ref, grow_ref, x_ref, w_ref, b_ref, wp_ref, bp_ref,
+                       g_ref, be_ref, bias_ref, scale_ref, out_ref, o_scr, *, ws, C,
+                       h, wblk, use_cos, has_bias, has_mask, sm_scale, has_qkv_bias,
+                       has_ln, ln_eps):
+    qkv = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_qkv_bias:
+        qkv = qkv + b_ref[...][None]
+    qkv = qkv.astype(x_ref.dtype)
+    mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
+    _attn_fwd_body(qkv, mask, bias_ref, scale_ref, o_scr, C=C, h=h, use_cos=use_cos,
+                   has_bias=has_bias, sm_scale=sm_scale)
+    z = _proj_ln_fwd(o_scr[...], wp_ref, bp_ref, g_ref, be_ref, has_ln=has_ln,
+                     ln_eps=ln_eps)
+    out_ref[...] = z.astype(out_ref.dtype)
+
+
+def _bwd_kernel_xw_epi(gcol_ref, grow_ref, x_ref, w_ref, b_ref, wp_ref, bp_ref,
+                       g_ref, be_ref, bias_ref, scale_ref, dz_ref,
+                       dx_ref, dw_ref, db_ref, dwp_ref, dbp_ref, dg_ref, dbe_ref,
+                       dbias_ref, dls_ref,
+                       dqkv_scr, o_scr, p_scr, aq_scr, bk_scr, *, ws, C, h, wblk,
+                       use_cos, has_bias, has_mask, sm_scale, has_qkv_bias, has_ln,
+                       ln_eps):
+    """Two-phase backward: phase 1 recomputes the per-head softmax (cached into
+    p_scr, layout (h*wblk, ws, ws) f32) and the attention output o; the LN/proj
+    chain then produces do in VMEM; phase 2 consumes the cached p for the
+    attention gradients."""
+    f32 = jnp.float32
+    hd = C // h
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        for _hh in range(h):
+            dls_ref[_hh, 0] = 0.0
+
+    x = x_ref[...]
+    w = w_ref[...]
+    qkv = jax.lax.dot_general(
+        x, w, (((2,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    if has_qkv_bias:
+        qkv = qkv + b_ref[...][None]
+    qkv = qkv.astype(x.dtype)
+    mask = _mask_from_groups(gcol_ref, grow_ref, has_mask)
+    pre = _cos_wide_preamble(qkv, C, h, scale_ref[...][:, 0])
+
+    # phase 1: softmax (cached) + attention output o
+    for head in range(h):
+        sl = slice(head * hd, (head + 1) * hd)
+        _, p = _cos_wide_softmax(qkv, mask, bias_ref, scale_ref, pre, head,
+                                 C=C, h=h, has_bias=has_bias)
+        p_scr[head * wblk:(head + 1) * wblk] = p
+        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        o_scr[:, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v, _BATCH_AV, preferred_element_type=f32
+        ).astype(o_scr.dtype)
+
+    # LN / proj chain in VMEM
+    o = o_scr[...]
+    u = jax.lax.dot_general(o, wp_ref[...], (((2,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    u = u + bp_ref[...][None].astype(f32)
+    dzf = dz_ref[...].astype(f32)
+    if has_ln:
+        mean = jnp.mean(u, axis=-1, keepdims=True)
+        xc = u - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+        xhat = xc * rstd
+        dg_ref[...] += jnp.sum(dzf * xhat, axis=(0, 1)).reshape(1, C)
+        dbe_ref[...] += jnp.sum(dzf, axis=(0, 1)).reshape(1, C)
+        dgl = dzf * g_ref[...][None]
+        du = rstd * (
+            dgl
+            - jnp.mean(dgl, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dgl * xhat, axis=-1, keepdims=True)
+        )
+    else:
+        du = dzf
+    du_lo = du.astype(x.dtype)
+    rows = wblk * ws
+    dwp_ref[...] += jax.lax.dot_general(
+        o.reshape(rows, C), du_lo.reshape(rows, C), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dbp_ref[...] += jnp.sum(du, axis=(0, 1)).reshape(1, C)
+    do_full = jax.lax.dot_general(du_lo, wp_ref[...], (((2,), (1,)), ((), ())),
+                                  preferred_element_type=f32).astype(x.dtype)
+
+    # phase 2: attention gradients from the cached softmax
+    for head in range(h):
+        sl = slice(head * hd, (head + 1) * hd)
+        p = p_scr[head * wblk:(head + 1) * wblk]
+        _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do_full[:, :, sl],
+                           dqkv_scr, dbias_ref, dls_ref, aq_scr, bk_scr, pre, head,
+                           C=C, h=h, has_bias=has_bias, p=p)
+    _cos_wide_tangent(aq_scr, bk_scr, pre, dqkv_scr, C=C, h=h)
+
+    dqkv = dqkv_scr[...].reshape(rows, 3 * C)
+    dx = jax.lax.dot_general(
+        dqkv, w, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    dx_ref[...] = dx.reshape(wblk, ws, C).astype(dx_ref.dtype)
+    dw_ref[...] += jax.lax.dot_general(
+        x.reshape(rows, C), dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    if has_qkv_bias:
+        db_ref[...] += jnp.sum(dqkv.astype(f32), axis=0).reshape(1, 3 * C)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_qkv_epi(ws: int, C: int, h: int, has_bias: bool, has_mask: bool,
+                        sm_scale: float, wblk: int, dtype_name: str,
+                        has_qkv_bias: bool, has_proj_bias: bool, has_ln: bool,
+                        ln_eps: float, interpret: bool, fwd_wblk: int | None,
+                        bwd_wblk: int | None):
+    dtype = jnp.dtype(dtype_name)
+    fwd_wblk = fwd_wblk or wblk
+    bwd_wblk = bwd_wblk or wblk
+    use_cos = True  # epilogue fusion is implemented for cosine attention only
+
+    def const_specs():
+        return [
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def block_specs(wb):
+        return [
+            pl.BlockSpec((wb, ws, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 1, ws), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, ws, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def prep(x, groups, logit_scale):
+        T = x.shape[0]
+        nw = T // ws
+        g = groups.astype(jnp.int32)
+        return (nw, g.reshape(nw, ws, 1), g.reshape(nw, 1, ws),
+                x.reshape(nw, ws, C), logit_scale.reshape(h, 1).astype(jnp.float32))
+
+    def operands(wqkv, bqkv, wp, bp, gamma, beta):
+        return (wqkv, bqkv.reshape(1, 3 * C), wp, bp.reshape(1, C),
+                gamma.reshape(1, C).astype(jnp.float32),
+                beta.reshape(1, C).astype(jnp.float32))
+
+    def pallas_fwd(x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale):
+        nw, gcol, grow, x3, scale_arr = prep(x, groups, logit_scale)
+        bias = _shift_bias(bias, logit_scale, use_cos, has_bias)
+        fw = fwd_wblk
+        kernel = functools.partial(
+            _fwd_kernel_xw_epi, ws=ws, C=C, h=h, wblk=fw, use_cos=use_cos,
+            has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
+            has_qkv_bias=has_qkv_bias, has_ln=has_ln, ln_eps=ln_eps,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(nw // fw,),
+            in_specs=block_specs(fw) + const_specs(),
+            out_specs=pl.BlockSpec((fw, ws, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nw, ws, C), dtype),
+            scratch_shapes=[pltpu.VMEM((fw, ws, C), dtype)],
+            interpret=interpret,
+        )(gcol, grow, x3, *operands(wqkv, bqkv, wp, bp, gamma, beta), bias,
+          scale_arr)
+        return out.reshape(x.shape[0], C)
+
+    @jax.custom_vjp
+    def fused(x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale):
+        return pallas_fwd(x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias,
+                          logit_scale)
+
+    def fwd(x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale):
+        return fused(x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias,
+                     logit_scale), (
+            x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale,
+        )
+
+    def pallas_bwd(x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale,
+                   dz):
+        nw, gcol, grow, x3, scale_arr = prep(x, groups, logit_scale)
+        bias = _shift_bias(bias, logit_scale, use_cos, has_bias)
+        bw = bwd_wblk
+        kernel = functools.partial(
+            _bwd_kernel_xw_epi, ws=ws, C=C, h=h, wblk=bw, use_cos=use_cos,
+            has_bias=has_bias, has_mask=has_mask, sm_scale=sm_scale,
+            has_qkv_bias=has_qkv_bias, has_ln=has_ln, ln_eps=ln_eps,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nw // bw,),
+            in_specs=block_specs(bw) + const_specs() + [
+                pl.BlockSpec((bw, ws, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bw, ws, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nw, ws, C), dtype),
+                jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+                jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+                jax.ShapeDtypeStruct((C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
+                jax.ShapeDtypeStruct((h, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bw, ws, 3 * C), dtype),
+                pltpu.VMEM((bw, ws, C), dtype),
+                pltpu.VMEM((h * bw, ws, ws), jnp.float32),
+                pltpu.VMEM((bw, ws, C), jnp.float32),
+                pltpu.VMEM((bw, ws, C), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gcol, grow, x3, *operands(wqkv, bqkv, wp, bp, gamma, beta), bias,
+          scale_arr, dz.reshape(nw, ws, C))
+        dx, dw, db, dwp, dbp, dg, dbe, dbias, dls = outs
+        return dx.reshape(x.shape), dw, db, dwp, dbp, dg, dbe, dbias, dls
+
+    def bwd(res, g):
+        x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale = res
+        dx, dw, db, dwp, dbp, dg, dbe, dbias, dls = pallas_bwd(
+            x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale,
+            g.astype(dtype))
+        return (dx, dw.astype(wqkv.dtype), db.reshape(bqkv.shape).astype(bqkv.dtype),
+                dwp.astype(wp.dtype), dbp.reshape(bp.shape).astype(bp.dtype),
+                dg.reshape(gamma.shape), dbe.reshape(beta.shape),
+                _float0_like(groups), dbias, dls.reshape(h))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_window_attention_qkv_epi(x, wqkv, bqkv, wp, bp, ln_scale, ln_bias, groups,
+                                   bias, logit_scale, *, ws, num_heads, sm_scale,
+                                   has_mask=True, wblk: int = 8,
+                                   interpret: bool = False,
+                                   fwd_wblk: int | None = None,
+                                   bwd_wblk: int | None = None,
+                                   ln_eps: float = 1e-5):
+    """Fused qkv-projection + cosine window attention + output projection
+    (+ LayerNorm when ln_scale is given — the SWIN-v2 res-post-norm).  x: (T, C);
+    wqkv: (C, 3C); wp: (C, C); returns z = [LN](attn(x) @ wp + bp) as (T, C).
+    Gradients flow to every parameter operand (dbias/dlogit_scale/dln grid-
+    accumulated in the backward kernel)."""
+    C = x.shape[-1]
+    has_qkv_bias = bqkv is not None
+    has_proj_bias = bp is not None
+    has_ln = ln_scale is not None
+    fn = _make_fused_qkv_epi(
+        ws, C, num_heads, bias is not None, has_mask, float(sm_scale), wblk,
+        str(x.dtype), has_qkv_bias, has_proj_bias, has_ln, float(ln_eps), interpret,
+        fwd_wblk, bwd_wblk,
+    )
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * C,), x.dtype)
+    if bp is None:
+        bp = jnp.zeros((C,), x.dtype)
+    if ln_scale is None:
+        ln_scale = jnp.ones((C,), jnp.float32)
+        ln_bias = jnp.zeros((C,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((num_heads, ws, ws), jnp.float32)
+    if logit_scale is None:
+        logit_scale = jnp.zeros((num_heads,), jnp.float32)
+    return fn(x, wqkv.astype(x.dtype), bqkv.astype(x.dtype), wp.astype(x.dtype),
+              bp.astype(x.dtype), ln_scale, ln_bias, groups, bias, logit_scale)

@@ -125,3 +125,55 @@ def test_fused_qkv_matches_oracle(use_cos, qkv_bias):
         scale = float(jnp.max(jnp.abs(a))) + 1e-12
         np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
                                    atol=3e-6)
+
+
+@pytest.mark.parametrize("has_ln", [True, False])
+def test_fused_qkv_epilogue_matches_oracle(has_ln):
+    """fused_window_attention_qkv_epi (qkv proj + cos attention + out proj
+    [+ LayerNorm]) vs the jnp oracle: forward and every gradient."""
+    from heal_swin_tpu.ops.window_attention import fused_window_attention_qkv_epi
+
+    ws, h, C, nw = 16, 2, 32, 16
+    T = nw * ws
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(T, C)).astype(np.float32))
+    wq = jnp.asarray((rng.normal(size=(C, 3 * C)) * 0.1).astype(np.float32))
+    bq = jnp.asarray((rng.normal(size=(3 * C,)) * 0.1).astype(np.float32))
+    wp = jnp.asarray((rng.normal(size=(C, C)) * 0.2).astype(np.float32))
+    bp = jnp.asarray((rng.normal(size=(C,)) * 0.1).astype(np.float32))
+    gam = jnp.asarray((1.0 + 0.3 * rng.normal(size=C)).astype(np.float32))
+    bet = jnp.asarray((0.2 * rng.normal(size=C)).astype(np.float32))
+    groups = jnp.asarray(rng.integers(0, 3, (nw, ws)).astype(np.int32))
+    bias = jnp.asarray(rng.normal(size=(h, ws, ws)).astype(np.float32))
+    ls = jnp.asarray(np.exp(rng.normal(size=h)).astype(np.float32))
+
+    def ln(u, g, b):
+        mu = jnp.mean(u, -1, keepdims=True)
+        xc = u - mu
+        var = jnp.mean(xc * xc, -1, keepdims=True)
+        return xc * jax.lax.rsqrt(var + 1e-5) * g + b
+
+    def ref(x, wq, wp, gam, bet, bias, ls):
+        qkv = x @ wq + bq
+        o = reference_window_attention(qkv, groups, bias, ls, ws=ws, num_heads=h,
+                                       use_cos=True, sm_scale=0.18)
+        u = o @ wp + bp
+        return ln(u, gam, bet) if has_ln else u
+
+    def fused(x, wq, wp, gam, bet, bias, ls):
+        return fused_window_attention_qkv_epi(
+            x, wq, bq, wp, bp, gam if has_ln else None, bet if has_ln else None,
+            groups, bias, ls, ws=ws, num_heads=h, sm_scale=0.18, wblk=4,
+            interpret=True)
+
+    o1, o2 = ref(x, wq, wp, gam, bet, bias, ls), fused(x, wq, wp, gam, bet, bias, ls)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+
+    loss = lambda f: (lambda *a: jnp.sum(jnp.sin(f(*a))))
+    g1 = jax.grad(loss(ref), argnums=tuple(range(7)))(x, wq, wp, gam, bet, bias, ls)
+    g2 = jax.grad(loss(fused), argnums=tuple(range(7)))(x, wq, wp, gam, bet, bias, ls)
+    names = ["dx", "dwq", "dwp", "dgamma", "dbeta", "dbias", "dls"]
+    for a, b, name in zip(g1, g2, names):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   atol=5e-6, err_msg=name)
