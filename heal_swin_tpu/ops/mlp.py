@@ -292,3 +292,251 @@ def fused_mlp(x, w1, b1, w2, b2, *, approximate: bool, rblk: int | None = None,
     fn = _make_fused(C, H, approximate, rblk, str(x.dtype), interpret, fwd_impl)
     return fn(x, w1.astype(x.dtype), b1.astype(jnp.float32),
               w2.astype(x.dtype), b2.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------------
+# Whole-MLP-branch kernel: z = x + dscale * LN(mlp(x))   (SWIN-v2 res-post-norm)
+#
+# The branch is fully token-local (no shift crosses it), so residual + DropPath
+# scale + LayerNorm + both dense layers fuse into ONE kernel, forward and backward.
+# The earlier hybrid (XLA fwd / Pallas bwd MLP alone) was a wash because the
+# custom-VJP boundary forced conv-layout -> row-major copies of x/dout/dx; fusing
+# the WHOLE branch moves the boundary to the block edge where the residual add
+# lives, and the backward recomputes everything in VMEM (flash style) while
+# grid-accumulating dW1/db1/dW2/db2/dgamma/dbeta.
+# ---------------------------------------------------------------------------------
+
+
+def reference_mlp_block(x, w1, b1, w2, b2, gamma, beta, dscale, *, approximate,
+                        ln_eps=1e-5):
+    """Pure-jnp oracle: x + dscale * LN(mlp(x)).  dscale: (T, 1) f32 or None.
+    Computed in f32 exactly as the kernel does (no intermediate down-cast of u)."""
+    h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32)
+    h = h + b1.astype(jnp.float32)
+    g = _gelu_f32(h, approximate).astype(x.dtype)
+    u = jnp.dot(g, w2.astype(x.dtype), preferred_element_type=jnp.float32)
+    u = u + b2.astype(jnp.float32)
+    mean = jnp.mean(u, axis=-1, keepdims=True)
+    xc = u - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + ln_eps) * gamma + beta
+    if dscale is not None:
+        y = y * dscale
+    return (x.astype(jnp.float32) + y).astype(x.dtype)
+
+
+def _blk_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, ds_ref,
+                    out_ref, *, approximate, ln_eps, has_dp):
+    f32 = jnp.float32
+    x = x_ref[...]
+    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    h = h + b1_ref[...]
+    g = _gelu_f32(h, approximate).astype(x.dtype)
+    u = jax.lax.dot_general(g, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    u = u + b2_ref[...]
+    mean = jnp.mean(u, axis=-1, keepdims=True)
+    xc = u - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + ln_eps) * g_ref[...] + be_ref[...]
+    if has_dp:
+        y = y * ds_ref[...]
+    out_ref[...] = (x.astype(f32) + y).astype(out_ref.dtype)
+
+
+def _blk_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, ds_ref,
+                    dz_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
+                    dbe_ref, *, approximate, ln_eps, has_dp):
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+
+    x = x_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    h = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    h = h + b1_ref[...]
+    g = _gelu_f32(h, approximate).astype(x.dtype)
+    u = jax.lax.dot_general(g, w2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    u = u + b2_ref[...]
+    mean = jnp.mean(u, axis=-1, keepdims=True)
+    xc = u - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = xc * rstd
+
+    dzf = dz_ref[...].astype(f32)
+    dy = dzf * ds_ref[...] if has_dp else dzf
+    dg_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dgl = dy * g_ref[...]
+    du = rstd * (
+        dgl
+        - jnp.mean(dgl, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dgl * xhat, axis=-1, keepdims=True)
+    )
+    du_lo = du.astype(x.dtype)
+    dw2_ref[...] += jax.lax.dot_general(g, du_lo, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=f32)
+    db2_ref[...] += jnp.sum(du, axis=0, keepdims=True)
+    dgact = jax.lax.dot_general(du_lo, w2, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+    dh = dgact * _gelu_grad_f32(h, approximate)
+    dh_lo = dh.astype(x.dtype)
+    dw1_ref[...] += jax.lax.dot_general(x, dh_lo, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=f32)
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dx = dzf + jax.lax.dot_general(dh_lo, w1, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mlp_block(C: int, H: int, approximate: bool, ln_eps: float, has_dp: bool,
+                    rblk: int, bwd_rblk: int, dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+
+    def const_specs():
+        return [
+            pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rblk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def pallas_fwd(x, w1, b1, w2, b2, gamma, beta, dscale):
+        T = x.shape[0]
+        kernel = functools.partial(_blk_fwd_kernel, approximate=approximate,
+                                   ln_eps=ln_eps, has_dp=has_dp)
+        return pl.pallas_call(
+            kernel,
+            grid=(T // rblk,),
+            in_specs=[pl.BlockSpec((rblk, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] + const_specs(),
+            out_specs=pl.BlockSpec((rblk, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, C), dtype),
+            interpret=interpret,
+        )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
+          gamma.reshape(1, C).astype(jnp.float32),
+          beta.reshape(1, C).astype(jnp.float32), dscale)
+
+    def pallas_bwd_call(x, w1, b1, w2, b2, gamma, beta, dscale, dz):
+        T = x.shape[0]
+        rb = bwd_rblk
+        kernel = functools.partial(_blk_bwd_kernel, approximate=approximate,
+                                   ln_eps=ln_eps, has_dp=has_dp)
+        const = [
+            pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(T // rb,),
+            in_specs=[pl.BlockSpec((rb, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] + const + [
+                pl.BlockSpec((rb, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rb, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, C), dtype),
+                jax.ShapeDtypeStruct((C, H), jnp.float32),
+                jax.ShapeDtypeStruct((1, H), jnp.float32),
+                jax.ShapeDtypeStruct((H, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
+          gamma.reshape(1, C).astype(jnp.float32),
+          beta.reshape(1, C).astype(jnp.float32), dscale, dz)
+
+    @jax.custom_vjp
+    def fused(x, w1, b1, w2, b2, gamma, beta, dscale):
+        return pallas_fwd(x, w1, b1, w2, b2, gamma, beta, dscale)
+
+    def fwd(*args):
+        return fused(*args), args
+
+    def bwd(res, g):
+        x, w1, b1, w2, b2, gamma, beta, dscale = res
+        dx, dw1, db1, dw2, db2, dg, dbe = pallas_bwd_call(
+            x, w1, b1, w2, b2, gamma, beta, dscale, g.astype(dtype))
+        return (dx, dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype),
+                dg.reshape(gamma.shape), dbe.reshape(beta.shape),
+                jnp.zeros_like(dscale))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def pick_block_rblks(T: int, C: int, H: int):
+    """(fwd_rblk, bwd_rblk) for the MLP-branch kernel, or None.  The backward holds
+    the f32 hidden + dW accumulators (measured caps, benchmarks/mlp_block_probe.py)."""
+    if C > 384:  # dW accumulators alone exceed scoped VMEM at C=768
+        return None
+    fwd_cap = 512
+    bwd_cap = {96: 512, 192: 256, 384: 128}.get(C, 128)
+    fw, bw = fwd_cap, bwd_cap
+    while fw > 8 and T % fw != 0:
+        fw //= 2
+    while bw > 8 and T % bw != 0:
+        bw //= 2
+    if T % fw != 0 or T % bw != 0:
+        return None
+    return fw, bw
+
+
+def block_supported(backend: str, T: int, C: int, H: int, approximate: bool) -> bool:
+    if backend != "tpu":
+        return False
+    if not approximate:  # exact-erf GELU does not lower in Mosaic
+        return False
+    return pick_block_rblks(T, C, H) is not None
+
+
+def fused_mlp_block(x, w1, b1, w2, b2, gamma, beta, dscale=None, *,
+                    approximate: bool, ln_eps: float = 1e-5,
+                    rblks=None, interpret: bool = False):
+    """z = x + dscale * LN(mlp(x)) fused.  x: (T, C); dscale: (T, 1) f32 or None
+    (None = no DropPath scaling).  Returns (T, C) in x.dtype."""
+    T, C = x.shape
+    H = w1.shape[1]
+    if rblks is None:
+        rblks = pick_block_rblks(T, C, H)
+    fw, bw = rblks
+    has_dp = dscale is not None
+    if dscale is None:
+        dscale = jnp.ones((T, 1), jnp.float32)
+    fn = _make_mlp_block(C, H, approximate, float(ln_eps), has_dp, fw, bw,
+                         str(x.dtype), interpret)
+    return fn(x, w1.astype(x.dtype), b1.astype(jnp.float32), w2.astype(x.dtype),
+              b2.astype(jnp.float32), gamma, beta, dscale)

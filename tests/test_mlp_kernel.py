@@ -104,3 +104,42 @@ def test_supported_gates():
     assert not supported("tpu", 2 * 131072, 96, 384, False)  # erf not in Mosaic
     assert not supported("tpu", 2 * 32768, 192, 768, True)  # XLA bwd at parity
     assert not supported("tpu", 7, 96, 384, True)  # no dividing row block
+
+
+@pytest.mark.parametrize("has_dp", [False, True])
+def test_mlp_block_kernel_matches_oracle(has_dp):
+    """fused_mlp_block (residual + DropPath scale + LN + 2-layer MLP) vs the jnp
+    oracle: forward and every gradient."""
+    from heal_swin_tpu.ops.mlp import fused_mlp_block, reference_mlp_block
+
+    T, C, H = 128, 32, 128
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(T, C)).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(C, H)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray((rng.normal(size=H) * 0.1).astype(np.float32))
+    w2 = jnp.asarray((rng.normal(size=(H, C)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray((rng.normal(size=C) * 0.1).astype(np.float32))
+    gam = jnp.asarray((1.0 + 0.3 * rng.normal(size=C)).astype(np.float32))
+    bet = jnp.asarray((0.2 * rng.normal(size=C)).astype(np.float32))
+    ds = jnp.asarray(
+        rng.choice([0.0, 1.25], size=(T, 1)).astype(np.float32)) if has_dp else None
+
+    def ref(x, w1, b1, w2, b2, gam, bet):
+        return reference_mlp_block(x, w1, b1, w2, b2, gam, bet, ds,
+                                   approximate=True)
+
+    def fused(x, w1, b1, w2, b2, gam, bet):
+        return fused_mlp_block(x, w1, b1, w2, b2, gam, bet, ds, approximate=True,
+                               rblks=(32, 16), interpret=True)
+
+    o1 = ref(x, w1, b1, w2, b2, gam, bet)
+    o2 = fused(x, w1, b1, w2, b2, gam, bet)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+
+    loss = lambda f: (lambda *a: jnp.sum(jnp.sin(f(*a))))
+    g1 = jax.grad(loss(ref), argnums=tuple(range(7)))(x, w1, b1, w2, b2, gam, bet)
+    g2 = jax.grad(loss(fused), argnums=tuple(range(7)))(x, w1, b1, w2, b2, gam, bet)
+    for a, b, name in zip(g1, g2, ["dx", "dw1", "db1", "dw2", "db2", "dg", "dbe"]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   atol=5e-6, err_msg=name)
