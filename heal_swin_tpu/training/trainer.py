@@ -327,6 +327,7 @@ class Trainer:
         es_best = -math.inf if tc.early_stopping_mode == "max" else math.inf
         es_bad_epochs = 0
         stop = False
+        saved_any_ckpt = False
 
         epoch = start_epoch
         last_metrics: Dict[str, float] = {}
@@ -404,6 +405,7 @@ class Trainer:
                     "scheduler": scheduler.state_dict() if scheduler else None,
                 }
                 self.ckpt_manager.save_epoch(epoch, all_metrics, params, opt_state, meta)
+                saved_any_ckpt = True
 
             # scheduler
             if scheduler is not None:
@@ -429,6 +431,20 @@ class Trainer:
             best_metrics = all_metrics
             if stop:
                 break
+
+        if self.ckpt_manager is not None and not saved_any_ckpt:
+            # zero epochs ran (e.g. resume of an already-finished run): still save
+            # the restored state as last.ckpt so the new run is self-contained and
+            # eval_after_train / later resumes resolve a checkpoint
+            meta = {
+                "run_id": self.run.run_id if self.run else None,
+                "experiment": tc.mlflow_expmt,
+                "global_step": self.global_step,
+                "scheduler": scheduler.state_dict() if scheduler else None,
+            }
+            self.ckpt_manager.save_epoch(
+                max(start_epoch - 1, 0), last_metrics, params, opt_state, meta
+            )
 
         best_path = None
         if self.ckpt_manager is not None:

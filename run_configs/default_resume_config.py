@@ -20,6 +20,11 @@ def get_resume_run_config():
     from heal_swin_tpu.training.train_config import ResumeConfig
     from heal_swin_tpu.utils import utils
 
+    if not RUN_ID:
+        raise SystemExit(
+            "default_resume_config: set the RUN_ID env var to the MLflow run id "
+            "to resume (RUN_ID=<id> python run.py resume --config_path ...)"
+        )
     train_run_config = utils.load_config(RUN_ID, "run_config")
     return ResumeConfig(
         path=RUN_ID, epoch=EPOCH, epoch_number=EPOCH_NUMBER,

@@ -93,6 +93,28 @@ def test_resume_e2e(mlruns):
     _validate_run(mlruns, new_run_id, ["train_loss", "val_loss"], ["batch_size"])
 
 
+def test_resume_finished_run_e2e(mlruns):
+    """Resume a run whose max_epochs is already reached (the default crashed-run
+    resume config reuses the saved pl_config): zero epochs run, but the restored
+    state is still saved as last.ckpt in the new run so eval_after_train and later
+    resumes resolve a checkpoint."""
+    run_id, result, run_config, pl_config = _train()
+
+    from heal_swin_tpu.resume import main as resume_main
+    from heal_swin_tpu.training.checkpoint import find_checkpoint
+    from heal_swin_tpu.training.train_config import ResumeConfig
+    from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+
+    # max_epochs stays 1 -> start_epoch == max_epochs -> no training
+    resume_config = ResumeConfig(path=run_id, epoch="last", train_run_config=run_config)
+    new_run_id, _ = resume_main(None, pl_config, resume_config)
+
+    run = MlflowFileStore(mlruns).get_run(new_run_id)
+    ckpt = find_checkpoint(run.artifact_dir, epoch="last")
+    assert ckpt.name == "last.ckpt"
+    assert run.status == "FINISHED"
+
+
 def test_evaluate_e2e(mlruns, tmp_path):
     run_id, *_ = _train()
 
