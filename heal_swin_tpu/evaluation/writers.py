@@ -1,9 +1,10 @@
-"""Prediction writers.
+"""Minimal prediction writers for the SYNTHETIC datamodules.
 
-This module holds the writer registry plumbing; the full WoodScape writer suite
-(back-projection, HP-masked IoU, best/worst, Chamfer) mirrors reference
-``heal_swin/evaluation/*_pred_writers.py`` and lives in ``woodscape_writers.py``
-(built on the projection pipeline).  Writers follow the reference's
+The full WoodScape writer suite (back-projection, HP-masked IoU, best/worst,
+Chamfer, point clouds) mirrors reference ``heal_swin/evaluation/*_pred_writers.py``
+and lives in ``{flat,hp}_pred_writers.py`` / ``{flat,hp}_depth_pred_writers.py``.
+This module only provides the lightweight writers the synthetic fixtures
+(``data/synthetic.py``) register.  Writers follow the reference's
 BasePredictionWriter protocol: ``write_on_batch_end(preds, batch, batch_idx)`` +
 ``on_predict_epoch_end()``.
 """

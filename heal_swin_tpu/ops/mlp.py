@@ -263,6 +263,9 @@ def fused_mlp_nd(x, w1, b1, w2, b2, *, approximate: bool, rblk: int | None = Non
         T *= d
     if rblk is None:
         rblk = pick_rblk(T, C, H)
+    if rblk is None:
+        raise ValueError(f"fused_mlp_nd: no supported row block for (T={T}, C={C}, "
+                         f"H={H}); gate calls with ops.mlp.supported()")
     fn = _make_fused_nd(C, H, approximate, rblk, str(x.dtype), interpret)
     return fn(x, w1, b1, w2, b2)
 
@@ -289,6 +292,9 @@ def fused_mlp(x, w1, b1, w2, b2, *, approximate: bool, rblk: int | None = None,
     H = w1.shape[1]
     if rblk is None:
         rblk = pick_rblk(T, C, H)
+    if rblk is None:
+        raise ValueError(f"fused_mlp: no supported row block for (T={T}, C={C}, "
+                         f"H={H}); gate calls with ops.mlp.supported()")
     fn = _make_fused(C, H, approximate, rblk, str(x.dtype), interpret, fwd_impl)
     return fn(x, w1.astype(x.dtype), b1.astype(jnp.float32),
               w2.astype(x.dtype), b2.astype(jnp.float32))
@@ -532,6 +538,9 @@ def fused_mlp_block(x, w1, b1, w2, b2, gamma, beta, dscale=None, *,
     H = w1.shape[1]
     if rblks is None:
         rblks = pick_block_rblks(T, C, H)
+    if rblks is None:
+        raise ValueError(f"fused_mlp_block: no supported row blocks for (T={T}, "
+                         f"C={C}, H={H}); gate calls with ops.mlp.block_supported()")
     fw, bw = rblks
     has_dp = dscale is not None
     if dscale is None:

@@ -172,7 +172,9 @@ def _attn_fwd_body(qkv, mask, bias_ref, scale_ref, out_ref, *, C, h, use_cos,
                 s = s + mask
             s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (wblk, ws, ws) f32
+        # Clamp: with the cosine static-bound shift a row whose logits are all
+        # very negative can underflow e to 0 row-wide; tiny floor avoids 0/0 NaN.
+        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, _BATCH_AV, preferred_element_type=jnp.float32
         )
@@ -261,7 +263,8 @@ def _cos_wide_softmax(qkv, mask, bias_ref, scale_ref, pre, head, *, C, h, has_bi
     if mask is not None:
         s = s + mask
     e = jnp.exp(s)
-    return s_dot, e / jnp.sum(e, axis=-1, keepdims=True)
+    # Same underflow clamp as the forward (static-bound softmax rows can be all-0).
+    return s_dot, e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
 
 
 def _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do, dqkv_ref, dbias_ref,
@@ -368,7 +371,9 @@ def _attn_bwd_body(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref
                 s = s + mask
             s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (wblk, ws, ws) f32
+        # Clamp: with the cosine static-bound shift a row whose logits are all
+        # very negative can underflow e to 0 row-wide; tiny floor avoids 0/0 NaN.
+        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
 
         p_lo = p.astype(v.dtype)
         # dV[w] = P[w]^T dO[w]
@@ -620,6 +625,9 @@ def fused_window_attention_qkv(x, wqkv, bqkv, groups, bias, logit_scale, *, ws,
     ``fwd_wblk`` / ``bwd_wblk`` let the forward and backward use different window
     blocks than ``wblk``: the backward holds the dqkv scratch + dW accumulators
     (+ two f32 tangent scratches for cosine attention) and OOMs first."""
+    if use_cos and logit_scale is None:
+        raise ValueError("use_cos=True requires a logit_scale (the cosine backward "
+                         "divides by it; zeros would produce NaN gradients)")
     C = x.shape[-1]
     has_qkv_bias = bqkv is not None
     fn = _make_fused_qkv(
@@ -751,6 +759,9 @@ def fused_window_attention(qkv, groups, bias, logit_scale, *, ws, num_heads, use
                            interpret: bool = False, bwd_wblk: int | None = None):
     """Entry point.  qkv: (T, 3C); groups: (T//ws, ws) int32; bias: (h, ws, ws) f32 or
     None; logit_scale: (h,) f32 (pre-exp'd) or None.  Returns (T, C)."""
+    if use_cos and logit_scale is None:
+        raise ValueError("use_cos=True requires a logit_scale (the cosine backward "
+                         "divides by it; zeros would produce NaN gradients)")
     C = qkv.shape[-1] // 3
     fn = _make_fused(
         ws, C, num_heads, use_cos, bias is not None, has_mask, float(sm_scale), wblk,
@@ -1069,6 +1080,10 @@ def fused_window_attention_qkv_epi(x, wqkv, bqkv, wp, bp, ln_scale, ln_bias, gro
     wqkv: (C, 3C); wp: (C, C); returns z = [LN](attn(x) @ wp + bp) as (T, C).
     Gradients flow to every parameter operand (dbias/dlogit_scale/dln grid-
     accumulated in the backward kernel)."""
+    if logit_scale is None:  # this variant is cosine-only
+        raise ValueError("fused_window_attention_qkv_epi requires a logit_scale (the "
+                         "cosine backward divides by it; zeros would produce NaN "
+                         "gradients)")
     C = x.shape[-1]
     has_qkv_bias = bqkv is not None
     has_proj_bias = bp is not None
@@ -1087,7 +1102,5 @@ def fused_window_attention_qkv_epi(x, wqkv, bqkv, wp, bp, ln_scale, ln_bias, gro
         ln_bias = jnp.zeros((C,), jnp.float32)
     if bias is None:
         bias = jnp.zeros((num_heads, ws, ws), jnp.float32)
-    if logit_scale is None:
-        logit_scale = jnp.zeros((num_heads,), jnp.float32)
     return fn(x, wqkv.astype(x.dtype), bqkv.astype(x.dtype), wp.astype(x.dtype),
               bp.astype(x.dtype), ln_scale, ln_bias, groups, bias, logit_scale)

@@ -31,6 +31,14 @@ def _sanitize(name: str) -> str:
     return "".join("_" if c in _INVALID else c for c in name)
 
 
+def _yaml_str(s: str) -> str:
+    """Single-quote a string for YAML when it would otherwise not parse back
+    (run names / tags containing ':', '#', leading symbols, ...)."""
+    if s and not any(c in s for c in ":#{}[]&*!|>'\"%@`,") and s == s.strip():
+        return s
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _write_meta(path: Path, d: Dict):
     lines = []
     for k, v in d.items():
@@ -41,7 +49,7 @@ def _write_meta(path: Path, d: Dict):
         elif isinstance(v, (int, float)):
             lines.append(f"{k}: {v}")
         else:
-            lines.append(f"{k}: {v}")
+            lines.append(f"{k}: {_yaml_str(str(v))}")
     path.write_text("\n".join(lines) + "\n")
 
 

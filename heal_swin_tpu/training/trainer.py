@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from heal_swin_tpu.parallel import batch_sharded, make_data_mesh, replicated
 from heal_swin_tpu.training import checkpoint as ckpt_lib
 from heal_swin_tpu.training.optimizer import (
     get_learning_rate,
@@ -69,15 +69,11 @@ class Trainer:
         self.tc = train_config or TrainConfig()
         self.run = run
 
-        n_req = pl_config.num_devices()
-        devices = jax.devices()
-        if n_req is not None:
-            devices = devices[: min(n_req, len(devices))]
-        self.devices = devices
-        self.n_devices = len(devices)
-        self.mesh = Mesh(np.asarray(devices), ("data",))
-        self.repl = NamedSharding(self.mesh, P())
-        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.mesh = make_data_mesh(pl_config.num_devices())
+        self.devices = list(self.mesh.devices.flat)
+        self.n_devices = len(self.devices)
+        self.repl = replicated(self.mesh)
+        self.batch_sharding = batch_sharded(self.mesh)
 
         self.ckpt_manager = None
         if ckpt_dir is not None and pl_config.checkpoint_callback and not pl_config.fast_dev_run:
@@ -432,10 +428,12 @@ class Trainer:
             if stop:
                 break
 
-        if self.ckpt_manager is not None and not saved_any_ckpt:
-            # zero epochs ran (e.g. resume of an already-finished run): still save
-            # the restored state as last.ckpt so the new run is self-contained and
-            # eval_after_train / later resumes resolve a checkpoint
+        if self.ckpt_manager is not None and not saved_any_ckpt and start_epoch > 0:
+            # zero epochs ran on a RESUMED run (resume of an already-finished run):
+            # save the restored state as last.ckpt so the new run is self-contained
+            # and eval_after_train / later resumes resolve a checkpoint.  A fresh
+            # run with max_epochs=0 saves nothing: recording epoch=0 for untrained
+            # params would make a later resume skip epoch 0 entirely.
             meta = {
                 "run_id": self.run.run_id if self.run else None,
                 "experiment": tc.mlflow_expmt,
@@ -443,7 +441,7 @@ class Trainer:
                 "scheduler": scheduler.state_dict() if scheduler else None,
             }
             self.ckpt_manager.save_epoch(
-                max(start_epoch - 1, 0), last_metrics, params, opt_state, meta
+                start_epoch - 1, last_metrics, params, opt_state, meta
             )
 
         best_path = None

@@ -10,7 +10,7 @@ from heal_swin_tpu.ops import healpix as hpx
 
 
 def _project_points(theta, phi, projection):
-    if projection == "mollweide":
+    if projection in ("mollweide", "mollview"):
         lam = np.where(phi > np.pi, phi - 2 * np.pi, phi)
         lat = np.pi / 2 - theta
         t = lat.copy()
@@ -27,6 +27,11 @@ def _project_points(theta, phi, projection):
         x = np.sin(theta) * np.cos(phi)
         y = np.sin(theta) * np.sin(phi)
         visible = np.cos(theta) > -0.05
+    elif projection == "cartview":
+        # equirectangular: longitude vs latitude (healpy.visufunc.cartview)
+        x = np.where(phi > np.pi, phi - 2 * np.pi, phi)
+        y = np.pi / 2 - theta
+        visible = np.ones_like(x, dtype=bool)
     else:
         raise ValueError(f"unknown projection: {projection}")
     return x, y, visible
