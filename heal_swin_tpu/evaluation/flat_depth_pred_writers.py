@@ -16,7 +16,12 @@ from heal_swin_tpu.evaluation.flat_pred_writers import _WriterBase, _norm_prefix
 from heal_swin_tpu.evaluation.hp_depth_pred_writers import (
     SMALL_RES,
     _DepthMetricDict,
+    _find_sample,
+    _fresh_depth_metric,
+    _metric_dict_with_ranges,
+    _rank_top_bottom,
     _resize_float,
+    _std_channel,
 )
 from heal_swin_tpu.projection import fisheye
 from heal_swin_tpu.utils import depth_utils
@@ -30,11 +35,11 @@ def _cf(preds):
 
 
 class WoodscapeFlatDepthBasePredictionWriter(_WriterBase):
-    """Per-sample comparison figures with MSE in the filename."""
+    """Full 4x4 comparison figures with MSE in the filename (reference :18-130)."""
 
     def __init__(self, output_dir=None, output_resolution=1.0, prefix="", part="val",
                  data_transform=None, mask_background=False, normalize_data=None,
-                 run=None, **_ignore):
+                 interpolation_mode="nearest", mse_ranges=None, run=None, **_ignore):
         super().__init__(run=run)
         self.output_dir = output_dir
         self.resolution = output_resolution
@@ -42,30 +47,48 @@ class WoodscapeFlatDepthBasePredictionWriter(_WriterBase):
         self.data_transform = data_transform
         self.mask_background = mask_background
         self.normalize_data = normalize_data
+        self.interpolation_mode = interpolation_mode
         self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
+        self.metric_dict = _metric_dict_with_ranges(mse_ranges)
         self.prefix = _norm_prefix(prefix)
 
     def write_on_batch_end(self, preds, batch, batch_idx):
         preds_cf = _cf(preds)
-        for pred, s2_mask, img, name in zip(
-            preds_cf, batch["s2_masks"], batch["imgs"], batch["names"]
+        for pred, s2_mask, img, mask, s2_img, name in zip(
+            preds_cf, batch["s2_masks"], batch["imgs"], batch["masks"], batch["s2_imgs"],
+            batch["names"],
         ):
-            target_metric = np.asarray(
+            transf_mask = np.asarray(
                 ndd.unnormalize_and_retransform(
                     np.asarray(s2_mask), self.normalize_data, self.stats, self.data_transform
-                )
-            )
-            mse = dm.DepthMSE()(pred[None], target_metric[None])
+                ), dtype=np.float64,
+            ).copy()
+            transf_mask[np.isinf(transf_mask)] = np.nan
+            mse = dm.DepthMSE()(pred[None], transf_mask[None])
             if self.output_dir is not None:
-                path = os.path.join(
-                    self.output_dir, f"{self.prefix}{self.part}_{name}_mse={mse:.2f}.png"
+                std = _std_channel(pred)
+                ranged = depth_utils.create_ranged_mse_mask(
+                    self.metric_dict, pred[None], transf_mask
                 )
-                pred_r = _resize_float(pred[0][None], self.resolution)[0]
-                tgt_r = _resize_float(target_metric[None].astype(np.float64), self.resolution)[0]
-                img_r = _resize_float(np.asarray(img, dtype=np.float64), self.resolution,
-                                      "bilinear")
-                depth_utils.save_depth_pred_comparison_image(pred_r, tgt_r, img_r, path,
-                                                             title=name)
+                out_size = np.asarray(mask).shape[-2:]
+                pred_r = _resize_float(pred[0][None], out_size,
+                                       self.interpolation_mode)[0]
+                transf_r = _resize_float(transf_mask[None], out_size,
+                                         self.interpolation_mode)[0]
+                std_r = None if std is None else _resize_float(
+                    std[None], out_size, self.interpolation_mode)[0]
+                img_r = _resize_float(np.asarray(img, dtype=np.float64), out_size,
+                                      self.interpolation_mode)
+                path = os.path.join(
+                    self.output_dir,
+                    f"{self.prefix}{self.part}_{name}_best_ckpt_mse={mse:.4f}.png",
+                )
+                depth_utils.save_depth_pred_comparison_image(
+                    pred_dist=pred_r, original_ground_truth=np.asarray(mask, np.float64),
+                    ground_truth_after_transforms=transf_r, img=img_r, filepath=path,
+                    metric_dict=self.metric_dict, std=std_r, ranged_mse_map=ranged,
+                    title=name,
+                )
 
 
 class WoodscapeFlatDepthValOnHPProjectedPredictionWriter(_WriterBase):
@@ -137,12 +160,15 @@ class WoodscapeFlatDepthValOnHPProjectedPredictionWriter(_WriterBase):
 
 
 class WoodscapeFlatDepthBestWorstPredictionWriter(_WriterBase):
-    """Rank by per-sample MSE; save comparison figures (reference :256-460)."""
+    """Rank by per-sample depth metric; re-predict top/bottom-k and save full
+    comparison figures (reference :256-419)."""
+
+    RANKING_METRICS = ("mse", "SILogE", "iRMSE", "RelAE", "RelSE")
 
     def __init__(self, output_dir=None, output_resolution=1.0, prefix="", part="val",
-                 top_k=5, ranking_metric="mse", sort_dir="asc", pred_dataset=None,
+                 top_k=5, ranking_metric="mse", sort_dir="desc", pred_dataset=None,
                  data_transform=None, mask_background=False, normalize_data=None,
-                 run=None, **_ignore):
+                 interpolation_mode="nearest", mse_ranges=None, run=None, **_ignore):
         super().__init__(run=run)
         self.output_dir = output_dir
         self.resolution = output_resolution
@@ -152,12 +178,19 @@ class WoodscapeFlatDepthBestWorstPredictionWriter(_WriterBase):
         self.data_transform = data_transform
         self.mask_background = mask_background
         self.normalize_data = normalize_data
+        self.interpolation_mode = interpolation_mode
         self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
-        self.metric_name = "mse"
+        if ranking_metric not in self.RANKING_METRICS:
+            ranking_metric = "mse"
+        self.metric_name = ranking_metric
+        self.metric_dict = _metric_dict_with_ranges(mse_ranges)
         self.sort_dir = sort_dir
         self.metric_values = []
         self.names = []
         self.prefix = _norm_prefix(prefix)
+
+    def _rank(self, pred, target):
+        return float(_fresh_depth_metric(self.metric_name, self.stats)(pred, target))
 
     def write_on_batch_end(self, preds, batch, batch_idx):
         preds_cf = _cf(preds)
@@ -167,43 +200,44 @@ class WoodscapeFlatDepthBestWorstPredictionWriter(_WriterBase):
                     np.asarray(s2_mask), self.normalize_data, self.stats, self.data_transform
                 )
             )
-            self.metric_values.append(float(dm.DepthMSE()(pred[None], target_metric[None])))
+            self.metric_values.append(self._rank(pred[None], target_metric[None]))
             self.names.append(name)
 
     def on_predict_epoch_end(self):
-        values = np.array(self.metric_values)
-        names = np.array(self.names)
-        order = np.argsort(values)
-        if self.sort_dir == "desc":
-            order = order[::-1]
-        groups = {"top": names[order[: self.top_k]], "bottom": names[order[-self.top_k:]][::-1]}
+        groups = _rank_top_bottom(self.metric_values, self.names, self.sort_dir, self.top_k)
         for top_bottom, group in groups.items():
             for idx, name in enumerate(group):
-                sample = None
-                for si in range(len(self.pred_dataset)):
-                    s = self.pred_dataset[si]
-                    if s["names"] == name:
-                        sample = s
-                        break
+                sample = _find_sample(self.pred_dataset, name)
                 if sample is None or self._predict_fn is None:
                     continue
                 pred = _cf(self._predict_fn(np.asarray(sample["s2_imgs"])[None]))[0]
-                target_metric = np.asarray(
+                transf_mask = np.asarray(
                     ndd.unnormalize_and_retransform(
                         np.asarray(sample["s2_masks"]), self.normalize_data, self.stats,
                         self.data_transform,
-                    )
-                )
-                mse = dm.DepthMSE()(pred[None], target_metric[None])
+                    ), dtype=np.float64,
+                ).copy()
+                transf_mask[np.isinf(transf_mask)] = np.nan
+                metric_value = self._rank(pred[None], transf_mask[None])
                 if self.output_dir is not None:
+                    mask = np.asarray(sample["masks"], dtype=np.float64)
+                    out_size = mask.shape[-2:]
+                    pred_r = _resize_float(pred[0][None], out_size,
+                                           self.interpolation_mode)[0]
+                    transf_r = _resize_float(transf_mask[None], out_size,
+                                             self.interpolation_mode)[0]
+                    post_value = self._rank(pred_r[None, None], transf_r[None])
                     img_cf = np.asarray(sample["s2_imgs"]).transpose(2, 0, 1)
                     path = os.path.join(
                         self.output_dir,
-                        f"{self.prefix}{self.part}_{top_bottom}_{idx + 1}_{name}"
-                        f"_mse={mse:.2f}.png",
+                        f"{self.prefix}{self.part}_{self.metric_name}_{top_bottom}_"
+                        f"{idx + 1}_{name}_{self.metric_name}={metric_value:.4f}_"
+                        f"{post_value:.4f}.png",
                     )
                     depth_utils.save_depth_pred_comparison_image(
-                        pred[0], target_metric, img_cf, path, title=name
+                        pred_dist=pred_r, original_ground_truth=mask,
+                        ground_truth_after_transforms=transf_r, img=img_cf, filepath=path,
+                        metric_dict=self.metric_dict, std=None, title=name,
                     )
 
 
@@ -282,12 +316,18 @@ class WoodscapeFlatDepthChamferDistBestWorstPredictionWriter(_WriterBase):
                 pred_b, full_res_mask, cal_info, hp_data=(False, False),
                 foreground_pix=(fg, full_fg), **kwargs,
             )
+            # the hp_masked variants also cut the PREDICTION to the HP footprint
+            # (reference :576-586, :615-625)
+            hp_masked_pred = depth_utils.mask_flat_with_hp_cutout(
+                pred[0].copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
+                rotate_pole=self.rotate_pole, masking_val=float("nan"),
+            )[None, None]
             hp_masked_full = depth_utils.mask_flat_with_hp_cutout(
                 full_res_mask.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
                 rotate_pole=self.rotate_pole, masking_val=float("nan"),
             )
             self.metrics["chamfer_distance_full_res_hp_masked"].update(
-                pred_b, hp_masked_full, cal_info, hp_data=(False, False),
+                hp_masked_pred, hp_masked_full, cal_info, hp_data=(False, False),
                 foreground_pix=(fg, self._foreground(hp_masked_full)), **kwargs,
             )
             small = _resize_float(full_res_mask, SMALL_RES, self.interpolation_mode)
@@ -296,13 +336,74 @@ class WoodscapeFlatDepthChamferDistBestWorstPredictionWriter(_WriterBase):
                 rotate_pole=self.rotate_pole, masking_val=float("nan"),
             )
             self.metrics["chamfer_distance_small_res_hp_masked"].update(
-                pred_b, hp_masked_small, cal_info, hp_data=(False, False),
+                hp_masked_pred, hp_masked_small, cal_info, hp_data=(False, False),
                 foreground_pix=(fg, self._foreground(hp_masked_small)), **kwargs,
             )
             self.metric_values.append(float(value))
             self.names.append(name)
 
+    def _make_pc(self, data, cal_info, background_val=float("nan")):
+        return depth_utils.create_point_cloud_from_depth_mask(
+            data, cal_info, nside=self.nside, hp_data=False, base_pix=self.base_pix,
+            rotate_pole=self.rotate_pole, background_val=background_val,
+        )
+
     def on_predict_epoch_end(self):
         self.log_metrics(
             {f"{self.prefix}{k}": float(v.compute()) for k, v in self.metrics.items()}
         )
+        if self.output_dir is None or self.pred_dataset is None or self._predict_fn is None:
+            return
+        groups = _rank_top_bottom(self.metric_values, self.names, self.sort_dir, self.top_k)
+        for top_bottom, group in groups.items():
+            for idx, name in enumerate(group):
+                sample = _find_sample(self.pred_dataset, name)
+                if sample is None:
+                    continue
+                cal_info = sample["cal_infos"]
+                pred = _cf(self._predict_fn(np.asarray(sample["s2_imgs"])[None]))[0]
+                transf_mask = np.asarray(
+                    ndd.unnormalize_and_retransform(
+                        np.asarray(sample["s2_masks"]), self.normalize_data, self.stats,
+                        self.data_transform,
+                    ), dtype=np.float64,
+                ).copy()
+                transf_mask[np.isinf(transf_mask)] = np.nan
+                metric_value = float(dm.ChamferDistance().update(
+                    pred[None], transf_mask[None], cal_info, hp_data=False,
+                    foreground_pix=self._foreground(transf_mask[None]), nside=self.nside,
+                    base_pix=self.base_pix, rotate_pole=self.rotate_pole,
+                ))
+                base = (f"{self.prefix}{self.part}_{self.metric_name}_{top_bottom}_"
+                        f"{idx + 1}_{name}_{self.metric_name}={metric_value:.4f}")
+
+                # point clouds (reference :715-797)
+                pred_pc, _ = self._make_pc(pred[0][None], cal_info)
+                gt_pc, gt_fg = self._make_pc(
+                    transf_mask[None], cal_info,
+                    background_val=(float("nan"), float("inf"), 1000),
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    log_pred_pc, _ = self._make_pc(np.log(pred[0])[None], cal_info)
+                    log_gt_pc, _ = self._make_pc(np.log(transf_mask)[None], cal_info)
+                s2_img = np.asarray(sample["s2_imgs"], dtype=np.float64)
+                if s2_img.shape[0] == 3 and s2_img.shape[-1] != 3:  # (3, H, W)
+                    s2_img = s2_img.transpose(1, 2, 0)
+                c_img = s2_img.reshape(-1, 3)
+                norms = np.linalg.norm(c_img, axis=-1)
+                c_img = c_img / max(float(np.nanmax(norms)), 1e-12)
+                if self.mask_background:
+                    keep = gt_fg[0]
+                    pred_pc, gt_pc = pred_pc[:, keep], gt_pc[:, keep]
+                    log_pred_pc, log_gt_pc = log_pred_pc[:, keep], log_gt_pc[:, keep]
+                    c_img = c_img[keep]
+                depth_utils.save_point_cloud_plane_scatters(
+                    pred_pc, gt_pc, self.output_dir, base
+                )
+
+                # the flat model's maps are shown directly (reference :833-905)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    depth_utils.save_point_cloud_gt_vs_pred_panels(
+                        np.log(transf_mask), np.log(pred[0]), log_gt_pc, log_pred_pc,
+                        gt_pc, pred_pc, c_img, self.output_dir, base,
+                    )

@@ -57,13 +57,32 @@ class _DepthMetricDict:
         return {f"{pref}_{k}_{suff}": float(v.compute()) for k, v in self.metrics.items()}
 
 
+def _metric_dict_with_ranges(mse_ranges):
+    """The figure's distance-band dict (reference pl_module.metric_dict,
+    model_lightning_depth_swin_hp.py:73-86 — mse only by default; optional
+    DepthRangeMSE bands via custom_metrics.add_distance_ranged_mse)."""
+    md = {"mse": dm.DepthMSE()}
+    if mse_ranges:
+        dm.add_distance_ranged_mse(md, [tuple(r) for r in mse_ranges])
+    return md
+
+
+def _std_channel(pred_cf):
+    """Predicted std sqrt(exp(logvar)) from channel 1 of a channels-first pred, or
+    None for single-channel models (reference :144-159)."""
+    if pred_cf.shape[0] < 2:
+        return None
+    return np.sqrt(np.exp(np.asarray(pred_cf[1], dtype=np.float64)))
+
+
 class WoodscapeHPDepthBasePredictionWriter(_WriterBase):
-    """Comparison figures with pre/post back-projection MSE in the filename
+    """Full 4x4 comparison figures with pre/post back-projection MSE in the filename
     (reference :23-199)."""
 
     def __init__(self, output_dir=None, output_resolution=1, rotate_pole=False, prefix="",
                  nside=256, base_pix=8, part="val", data_transform=None,
-                 mask_background=False, normalize_data=None, run=None, **_ignore):
+                 mask_background=False, normalize_data=None, interpolation_mode="nearest",
+                 mse_ranges=None, run=None, **_ignore):
         super().__init__(run=run)
         self.output_dir = output_dir
         self.resolution = output_resolution
@@ -74,9 +93,17 @@ class WoodscapeHPDepthBasePredictionWriter(_WriterBase):
         self.data_transform = data_transform
         self.mask_background = mask_background
         self.normalize_data = normalize_data
+        self.interpolation_mode = interpolation_mode
         self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
+        self.metric_dict = _metric_dict_with_ranges(mse_ranges)
         self.mse = dm.DepthMSE()
         self.prefix = _norm_prefix(prefix)
+
+    def _back(self, hp_map, cal_info):
+        return fisheye.project_hp_depth_back(
+            np.asarray(hp_map, dtype=np.float64), cal_info, self.resolution,
+            self.rotate_pole, self.nside, self.base_pix, s2_bkgd_class=float("nan"),
+        )[0]
 
     def write_on_batch_end(self, preds, batch, batch_idx):
         preds_cf = _cf(preds)
@@ -90,24 +117,42 @@ class WoodscapeHPDepthBasePredictionWriter(_WriterBase):
                 )
             )
             pre_mse = dm.DepthMSE()(hp_pred[None], hp_mask_metric[None])
-            flat_pred = fisheye.project_hp_depth_back(
-                hp_pred[0], cal_info, self.resolution, self.rotate_pole, self.nside,
-                self.base_pix, s2_bkgd_class=float("nan"),
-            )
-            mask_r = _resize_float(np.asarray(mask, dtype=np.float64)[None],
-                                   self.resolution)[0]
-            post_mse = dm.DepthMSE()(flat_pred[None], mask_r[None])
+            pred_mean = self._back(hp_pred[0], cal_info)
+            transf_mask = self._back(hp_mask_metric, cal_info)
+            transf_mask[np.isinf(transf_mask)] = np.nan
+            post_mse = dm.DepthMSE()(pred_mean[None, None], transf_mask[None])
             if self.output_dir is not None:
+                std = _std_channel(hp_pred)
+                ranged = depth_utils.create_ranged_mse_mask(
+                    self.metric_dict, pred_mean[None, None], transf_mask
+                )
+                out_size = tuple(int(d * self.resolution) for d in
+                                 np.asarray(mask).shape[-2:])
+                pred_r = _resize_float(pred_mean[None], out_size,
+                                       self.interpolation_mode)[0]
+                transf_r = _resize_float(transf_mask[None], out_size,
+                                         self.interpolation_mode)[0]
+                mask_r = _resize_float(np.asarray(mask, dtype=np.float64)[None],
+                                       out_size, self.interpolation_mode)[0]
+                img_r = _resize_float(np.asarray(img, dtype=np.float64), out_size,
+                                      self.interpolation_mode)
+                std_r = None if std is None else self._back_resize_std(std, cal_info,
+                                                                       out_size)
                 path = os.path.join(
                     self.output_dir,
-                    f"{self.prefix}{self.part}_{name}_pre_mse={pre_mse:.2f}"
-                    f"_post_mse={post_mse:.2f}.png",
+                    f"{self.prefix}{self.part}_{name}_best_ckpt_mse={pre_mse:.4f}_"
+                    f"{post_mse:.4f}.png",
                 )
-                img_r = _resize_float(np.asarray(img, dtype=np.float64), self.resolution,
-                                      "bilinear")
                 depth_utils.save_depth_pred_comparison_image(
-                    flat_pred[0], mask_r, img_r, path, title=name
+                    pred_dist=pred_r, original_ground_truth=mask_r,
+                    ground_truth_after_transforms=transf_r, img=img_r, filepath=path,
+                    metric_dict=self.metric_dict, std=std_r, ranged_mse_map=ranged,
+                    title=name,
                 )
+
+    def _back_resize_std(self, hp_std, cal_info, out_size):
+        std = self._back(hp_std, cal_info)
+        return _resize_float(std[None], out_size, self.interpolation_mode)[0]
 
 
 class WoodscapeHPDepthValOnBackProjectedPredictionWriter(_WriterBase):
@@ -165,14 +210,47 @@ class WoodscapeHPDepthValOnBackProjectedPredictionWriter(_WriterBase):
         self.log_metrics(self.metric_dict.computed(pref, suff))
 
 
+def _rank_top_bottom(metric_values, names, sort_dir, top_k):
+    """Reference ranking convention (hp_depth_pred_writers.py:643-654 / :957-967):
+    argsort (reversed for desc), top = tail reversed, bottom = head."""
+    values = np.array(metric_values)
+    names = np.array(names)
+    order = np.argsort(values)
+    if sort_dir == "desc":
+        order = order[::-1]
+    return {"top": names[order[-top_k:]][::-1], "bottom": names[order[:top_k]]}
+
+
+def _find_sample(pred_dataset, name):
+    for si in range(len(pred_dataset)):
+        s = pred_dataset[si]
+        if s["names"] == name:
+            return s
+    return None
+
+
+def _fresh_depth_metric(metric_name, stats):
+    metrics = {
+        "mse": dm.DepthMSE,
+        "SILogE": dm.ScaleInvariantLogError,
+        "iRMSE": dm.DepthiRMSE,
+        "RelAE": lambda: dm.DepthRelAE(total_mean=stats.mean),
+        "RelSE": lambda: dm.DepthRelSE(total_mean=stats.mean),
+    }
+    return metrics[metric_name]()
+
+
 class WoodscapeHPDepthBestWorstPredictionWriter(_WriterBase):
-    """Rank by per-sample depth MSE; save comparison figures for top/bottom-k
-    (reference :550-731)."""
+    """Rank by per-sample depth metric; re-predict top/bottom-k and save full
+    comparison figures (reference :550-731)."""
+
+    RANKING_METRICS = ("mse", "SILogE", "iRMSE", "RelAE", "RelSE")
 
     def __init__(self, output_dir=None, output_resolution=1, rotate_pole=False, prefix="",
                  nside=256, base_pix=8, part="val", top_k=5, ranking_metric="mse",
-                 sort_dir="asc", pred_dataset=None, data_transform=None,
-                 mask_background=False, normalize_data=None, run=None, **_ignore):
+                 sort_dir="desc", pred_dataset=None, data_transform=None,
+                 mask_background=False, normalize_data=None, mse_ranges=None,
+                 run=None, **_ignore):
         super().__init__(run=run)
         self.output_dir = output_dir
         self.resolution = output_resolution
@@ -186,11 +264,17 @@ class WoodscapeHPDepthBestWorstPredictionWriter(_WriterBase):
         self.mask_background = mask_background
         self.normalize_data = normalize_data
         self.stats = ndd.get_depth_data_stats(data_transform, mask_background)
-        self.metric_name = "mse"
+        if ranking_metric not in self.RANKING_METRICS:  # eval configs default to seg
+            ranking_metric = "mse"
+        self.metric_name = ranking_metric
+        self.metric_dict = _metric_dict_with_ranges(mse_ranges)
         self.sort_dir = sort_dir
         self.metric_values = []
         self.names = []
         self.prefix = _norm_prefix(prefix)
+
+    def _rank(self, pred, target):
+        return float(_fresh_depth_metric(self.metric_name, self.stats)(pred, target))
 
     def write_on_batch_end(self, preds, batch, batch_idx):
         preds_cf = _cf(preds)
@@ -200,46 +284,53 @@ class WoodscapeHPDepthBestWorstPredictionWriter(_WriterBase):
                     np.asarray(hp_mask), self.normalize_data, self.stats, self.data_transform
                 )
             )
-            self.metric_values.append(float(dm.DepthMSE()(hp_pred[None], hp_mask_metric[None])))
+            self.metric_values.append(self._rank(hp_pred[None], hp_mask_metric[None]))
             self.names.append(name)
 
     def on_predict_epoch_end(self):
-        values = np.array(self.metric_values)
-        names = np.array(self.names)
-        order = np.argsort(values)
-        if self.sort_dir == "desc":
-            order = order[::-1]
-        groups = {"top": names[order[: self.top_k]], "bottom": names[order[-self.top_k:]][::-1]}
+        groups = _rank_top_bottom(self.metric_values, self.names, self.sort_dir, self.top_k)
         for top_bottom, group in groups.items():
             for idx, name in enumerate(group):
-                sample = None
-                for si in range(len(self.pred_dataset)):
-                    s = self.pred_dataset[si]
-                    if s["names"] == name:
-                        sample = s
-                        break
+                sample = _find_sample(self.pred_dataset, name)
                 if sample is None or self._predict_fn is None:
                     continue
+                cal_info = sample["cal_infos"]
                 pred = _cf(self._predict_fn(np.asarray(sample["hp_imgs"])[None]))[0]
-                flat_pred = fisheye.project_hp_depth_back(
-                    pred[0], sample["cal_infos"], self.resolution, self.rotate_pole,
-                    self.nside, self.base_pix, s2_bkgd_class=float("nan"),
+                hp_mask_metric = np.asarray(
+                    ndd.unnormalize_and_retransform(
+                        np.asarray(sample["hp_masks"]), self.normalize_data, self.stats,
+                        self.data_transform,
+                    )
                 )
-                mask_r = _resize_float(
-                    np.asarray(sample["masks"], dtype=np.float64)[None], self.resolution
+                metric_value = self._rank(pred[None], hp_mask_metric[None])
+                pred_mean = fisheye.project_hp_depth_back(
+                    pred[0], cal_info, self.resolution, self.rotate_pole, self.nside,
+                    self.base_pix, s2_bkgd_class=float("nan"),
                 )[0]
-                mse = dm.DepthMSE()(flat_pred[None], mask_r[None])
+                transf_mask = fisheye.project_hp_depth_back(
+                    hp_mask_metric, cal_info, self.resolution, self.rotate_pole,
+                    self.nside, self.base_pix, s2_bkgd_class=float("nan"),
+                )[0]
+                proj_metric_value = self._rank(pred_mean[None, None], transf_mask[None])
                 if self.output_dir is not None:
+                    mask = np.asarray(sample["masks"], dtype=np.float64)
+                    out_size = mask.shape[-2:]
+                    pred_r = _resize_float(pred_mean[None], out_size)[0]
+                    transf_r = _resize_float(transf_mask[None], out_size)[0]
+                    transf_r[np.isinf(transf_r)] = np.nan
                     img_r = _resize_float(
-                        np.asarray(sample["imgs"], dtype=np.float64), self.resolution, "bilinear"
+                        np.asarray(sample["imgs"], dtype=np.float64), out_size, "bilinear"
                     )
                     path = os.path.join(
                         self.output_dir,
-                        f"{self.prefix}{self.part}_{top_bottom}_{idx + 1}_{name}"
-                        f"_mse={mse:.2f}.png",
+                        f"{self.prefix}{self.part}_{self.metric_name}_{top_bottom}_"
+                        f"{idx + 1}_{name}_{self.metric_name}={metric_value:.4f}_"
+                        f"{proj_metric_value:.4f}.png",
                     )
                     depth_utils.save_depth_pred_comparison_image(
-                        flat_pred[0], mask_r, img_r, path, title=name
+                        pred_dist=pred_r, original_ground_truth=mask,
+                        ground_truth_after_transforms=transf_r, img=img_r, filepath=path,
+                        metric_dict=self.metric_dict, std=None, title=name,
                     )
 
 
@@ -254,6 +345,7 @@ class WoodscapeHPDepthChamferDistBestWorstPredictionWriter(_WriterBase):
                  interpolation_mode="nearest", run=None, **_ignore):
         super().__init__(run=run)
         self.output_dir = output_dir
+        self.resolution = output_resolution
         self.rotate_pole = rotate_pole
         self.nside = nside
         self.base_pix = base_pix
@@ -337,7 +429,76 @@ class WoodscapeHPDepthChamferDistBestWorstPredictionWriter(_WriterBase):
             self.metric_values.append(float(value))
             self.names.append(name)
 
+    def _chamfer(self, pred, target, cal_info, fg):
+        return float(dm.ChamferDistance().update(
+            pred, target, cal_info, hp_data=True, foreground_pix=fg, nside=self.nside,
+            base_pix=self.base_pix, rotate_pole=self.rotate_pole,
+        ))
+
+    def _make_pc(self, data, cal_info, background_val=float("nan")):
+        return depth_utils.create_point_cloud_from_depth_mask(
+            data, cal_info, nside=self.nside, hp_data=True, base_pix=self.base_pix,
+            rotate_pole=self.rotate_pole, background_val=background_val,
+        )
+
     def on_predict_epoch_end(self):
         self.log_metrics(
             {f"{self.prefix}{k}": float(v.compute()) for k, v in self.metrics.items()}
         )
+        if self.output_dir is None or self.pred_dataset is None or self._predict_fn is None:
+            return
+        groups = _rank_top_bottom(self.metric_values, self.names, self.sort_dir, self.top_k)
+        for top_bottom, group in groups.items():
+            for idx, name in enumerate(group):
+                sample = _find_sample(self.pred_dataset, name)
+                if sample is None:
+                    continue
+                cal_info = sample["cal_infos"]
+                pred = _cf(self._predict_fn(np.asarray(sample["hp_imgs"])[None]))[0]
+                hp_mask = np.asarray(
+                    ndd.unnormalize_and_retransform(
+                        np.asarray(sample["hp_masks"]), self.normalize_data, self.stats,
+                        self.data_transform,
+                    )
+                ).copy()
+                hp_mask[np.isinf(hp_mask)] = np.nan
+                hp_fg = self._foreground(hp_mask[None])
+                metric_value = self._chamfer(pred[None], hp_mask[None], cal_info, hp_fg)
+                base = (f"{self.prefix}{self.part}_{self.metric_name}_{top_bottom}_"
+                        f"{idx + 1}_{name}_{self.metric_name}={metric_value:.4f}")
+
+                # point clouds (reference :1012-1097)
+                pred_pc, _ = self._make_pc(pred[0][None], cal_info)
+                gt_pc, gt_fg = self._make_pc(
+                    hp_mask[None], cal_info, background_val=(float("nan"), float("inf"), 1000)
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    log_pred_pc, _ = self._make_pc(np.log(pred[0])[None], cal_info)
+                    log_gt_pc, _ = self._make_pc(np.log(hp_mask)[None], cal_info)
+                c_img = np.asarray(sample["hp_imgs"], dtype=np.float64) / 255.0
+                if c_img.ndim == 2 and c_img.shape[0] == 3:  # (3, npix) -> (npix, 3)
+                    c_img = c_img.T
+                if self.mask_background:
+                    keep = gt_fg[0]
+                    pred_pc, gt_pc = pred_pc[:, keep], gt_pc[:, keep]
+                    log_pred_pc, log_gt_pc = log_pred_pc[:, keep], log_gt_pc[:, keep]
+                    c_img = c_img[keep]
+                depth_utils.save_point_cloud_plane_scatters(
+                    pred_pc, gt_pc, self.output_dir, base, gt_label="hp gt",
+                    pred_label="hp pred",
+                )
+
+                # back-projected log maps + image-colored panels (reference :1099-1225)
+                back_pred = fisheye.project_hp_depth_back(
+                    pred[0], cal_info, self.resolution, self.rotate_pole, self.nside,
+                    self.base_pix, s2_bkgd_class=float("nan"),
+                )[0]
+                back_gt = fisheye.project_hp_depth_back(
+                    hp_mask, cal_info, self.resolution, self.rotate_pole, self.nside,
+                    self.base_pix, s2_bkgd_class=float("nan"),
+                )[0]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    depth_utils.save_point_cloud_gt_vs_pred_panels(
+                        np.log(back_gt), np.log(back_pred), log_gt_pc, log_pred_pc,
+                        gt_pc, pred_pc, c_img, self.output_dir, base,
+                    )

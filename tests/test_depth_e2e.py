@@ -133,6 +133,7 @@ def test_depth_hp_train_and_chamfer_eval(env):
         pred_writer="chamfer_distance",
         validate=False,
         predict=True,
+        top_k=1,
         train_config=TrainConfig(mlflow_expmt="syn_depth"),
         data_config=data_config,
     )
@@ -146,6 +147,15 @@ def test_depth_hp_train_and_chamfer_eval(env):
         hist = run.get_metric_history(metric)
         assert hist, f"{metric} missing"
         assert np.isfinite(hist[-1][1])
+
+    # best/worst point-cloud artifacts (reference hp_depth_pred_writers.py:958-1225):
+    # top_k=1 -> per group: 3 plane scatters + 3 gt-vs-pred panel figures
+    art = run.artifact_dir
+    for group in ["top", "bottom"]:
+        scatters = list(art.glob(f"*chamfer_distance_{group}_1_*_plane.png"))
+        panels = list(art.glob(f"*chamfer_distance_{group}_1_*_plane_gt_vs_pred.png"))
+        assert len(scatters) == 3, (group, sorted(p.name for p in art.iterdir()))
+        assert len(panels) == 3, group
 
 
 def test_depth_hp_val_on_back_projected(env):
@@ -198,6 +208,70 @@ def test_depth_hp_val_on_back_projected(env):
     for metric in ["t_val_mse_back_projected", "t_val_SILogE_back_projected",
                    "t_val_iRMSE_back_projected"]:
         assert run.get_metric_history(metric), f"{metric} missing"
+
+
+def test_depth_flat_chamfer_writer_artifacts(env, tmp_path):
+    """Flat chamfer writer: 4 cumulative metrics (pred cut to the HP footprint for the
+    hp_masked variants, reference flat_depth_pred_writers.py:576-625) + best/worst
+    point-cloud artifacts (reference :658-905)."""
+    import jax
+
+    from heal_swin_tpu.data.data import get_data_module
+    from heal_swin_tpu.data.data_config import (
+        WoodscapeCommonConfig,
+        WoodscapeDepthCommonConfig,
+        WoodscapeDepthFlatConfig,
+    )
+    from heal_swin_tpu.models.swin_flat import SwinTransformerConfig
+    from heal_swin_tpu.models.tasks import (
+        CommonDepthConfig,
+        WoodscapeDepthSwinConfig,
+        MODEL_FROM_CONFIG_NAME,
+    )
+    from heal_swin_tpu.training.train_config import PLConfig
+    from heal_swin_tpu.training.trainer import Trainer
+
+    data_config = WoodscapeDepthFlatConfig(
+        common=WoodscapeCommonConfig(
+            version="synwoodscape", batch_size=1, val_batch_size=2, pred_batch_size=2,
+            pred_samples=2, train_share=0.75,
+        ),
+        common_depth=WoodscapeDepthCommonConfig(mask_background=True),
+        input_width=96, input_height=80, nside=NSIDE,
+    )
+    model_config = WoodscapeDepthSwinConfig(
+        swin_transformer_config=SwinTransformerConfig(
+            patch_size=(4, 4), window_size=(2, 2), embed_dim=4, depths=[2, 1],
+            num_heads=[2, 2],
+        ),
+        common_depth_config=CommonDepthConfig(),
+    )
+    dm, spec = get_data_module(data_config)
+    task = MODEL_FROM_CONFIG_NAME[type(model_config).__name__](model_config, spec, data_config)
+    params = jax.jit(task.init_variables)(
+        jax.random.PRNGKey(0), np.zeros((1, 80, 96, 3), np.float32)
+    )
+    store = MlflowFileStore(env["mlruns"])
+    run = store.create_run("syn_depth_flat")
+    trainer = Trainer(PLConfig(limit_predict_batches=1), run=run)
+    out_dir = tmp_path / "preds"
+    out_dir.mkdir()
+    writer = dm.get_pred_writer(
+        "chamfer_distance", output_dir=str(out_dir), prefix="t", top_k=1,
+        ranking_metric="chamfer_distance", sort_dir="desc", run=run,
+    )
+    trainer.predict(task, dm, params, writer=writer)
+    for metric in ["t_chamfer_distance", "t_chamfer_distance_full_res",
+                   "t_chamfer_distance_full_res_hp_masked",
+                   "t_chamfer_distance_small_res_hp_masked"]:
+        hist = run.get_metric_history(metric)
+        assert hist, f"{metric} missing"
+        assert np.isfinite(hist[-1][1])
+    for group in ["top", "bottom"]:
+        scatters = list(out_dir.glob(f"*chamfer_distance_{group}_1_*_plane.png"))
+        panels = list(out_dir.glob(f"*chamfer_distance_{group}_1_*_plane_gt_vs_pred.png"))
+        assert len(scatters) == 3, (group, sorted(p.name for p in out_dir.iterdir()))
+        assert len(panels) == 3, group
 
 
 def test_depth_project_on_device_matches_npz(env):
