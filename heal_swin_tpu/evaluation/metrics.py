@@ -86,11 +86,16 @@ def iou_from_confmat(confmat, absent_score: float = 0.0):
 def seg_state_compute(state, prefix: str, class_names=None) -> Dict[str, float]:
     """Epoch metrics with the reference's names (model_lightning_swin_hp.py:74-102)."""
     iou = np.asarray(iou_from_confmat(state["confmat"]))
+
+    def _acc(correct, total):
+        # torchmetrics 0.3.2 semantics: correct/total = 0/0 -> nan (e.g. an epoch of
+        # all-background pixels under ignore_index)
+        total = float(total)
+        return float(correct) / total if total > 0 else float("nan")
+
     out = {
-        f"{prefix}acc": float(state["correct"] / np.maximum(state["total"], 1)),
-        f"{prefix}acc_ignored": float(
-            state["correct_ignored"] / np.maximum(state["total_ignored"], 1)
-        ),
+        f"{prefix}acc": _acc(state["correct"], state["total"]),
+        f"{prefix}acc_ignored": _acc(state["correct_ignored"], state["total_ignored"]),
         f"{prefix}iou_global": float(iou.mean()),
         f"{prefix}iou_global_ignored": float(iou[1:].mean()) if len(iou) > 1 else float(iou.mean()),
     }

@@ -42,7 +42,7 @@ def accuracy_functional(preds, target, num_classes=None, ignore_index=None) -> f
         keep = target != ignore_index
         preds, target = preds[keep], target[keep]
     if target.size == 0:
-        return 0.0
+        return float("nan")  # torchmetrics 0.3.2: correct/total = 0/0 -> nan
     return float((preds == target).mean())
 
 
@@ -67,7 +67,9 @@ class Accuracy:
         self.total += int(target.size)
 
     def compute(self) -> float:
-        return self.correct / max(self.total, 1)
+        if self.total == 0:
+            return float("nan")  # torchmetrics 0.3.2: 0/0 -> nan
+        return self.correct / self.total
 
 
 class IoU:
