@@ -10,6 +10,7 @@ ignored with a notice.
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 
@@ -24,7 +25,10 @@ def main():
         p.add_argument("--config_path", required=True)
 
     sub.add_parser("test-repo")
-    sub.add_parser("bench")
+    p = sub.add_parser("bench")
+    p.add_argument("--input", choices=["synthetic", "real"], default="synthetic",
+                   help="'real' drives the full input pipeline (decode + prefetch + "
+                        "on-device projection) through the actual Trainer")
     sub.add_parser("format-code")  # reference run.py format_code (black)
     p = sub.add_parser("start-mlflow-server")
     p.add_argument("--port", type=int, default=5000)
@@ -55,7 +59,8 @@ def main():
     elif args.cmd == "test-repo":
         sys.exit(subprocess.call([sys.executable, "-m", "pytest", "tests/", "-x", "-q"]))
     elif args.cmd == "bench":
-        sys.exit(subprocess.call([sys.executable, "bench.py"]))
+        env = dict(os.environ, BENCH_INPUT=args.input)
+        sys.exit(subprocess.call([sys.executable, "bench.py"], env=env))
     elif args.cmd == "format-code":
         rc = subprocess.call(
             [sys.executable, "-m", "black", "--line-length", "99",
