@@ -75,10 +75,10 @@ def run():
         s = (jnp.sum(dwe) + jnp.sum(dwh) + jnp.sum(dg) + jnp.sum(db)).astype(jnp.float32)
         return dx + (jnp.tanh(s) * 1e-20).astype(dx.dtype)
 
-    ms = device_ms(fused_region, (x, we), iters=20)
-    print(f"Pallas fused final head fwd+bwd: {ms:.3f} ms")
+    import os
 
-    for rblk in (1024, 2048, 4096, 8192):
+    rblks = [int(r) for r in os.environ.get("FH_RBLKS", "2048").split(",")]
+    for rblk in rblks:
         def fused_r(x_, we_, rblk=rblk):
             def loss(a, ww, whh, gg, bb):
                 l, _ = fh.fused_final_head(

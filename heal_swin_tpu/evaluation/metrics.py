@@ -83,6 +83,25 @@ def iou_from_confmat(confmat, absent_score: float = 0.0):
     return jnp.where(denom > 0, tp / jnp.maximum(denom, 1.0), absent_score)
 
 
+def seg_state_merge_confmat(state, cm):
+    """Merge a precomputed (F, F) confusion matrix (target rows, pred cols) into the
+    state — used by the fused final-head kernel (ops/final_head.py), which emits the
+    step's confmat directly instead of logits.  Every scalar accumulator is derivable
+    from the confmat: correct = trace, total = sum, the *_ignored variants drop
+    target class 0."""
+    cm = cm.astype(jnp.float32)
+    correct = jnp.trace(cm)
+    total = jnp.sum(cm)
+    row0 = jnp.sum(cm[0])
+    return {
+        "confmat": state["confmat"] + cm,
+        "correct": state["correct"] + correct,
+        "total": state["total"] + total,
+        "correct_ignored": state["correct_ignored"] + correct - cm[0, 0],
+        "total_ignored": state["total_ignored"] + total - row0,
+    }
+
+
 def seg_state_compute(state, prefix: str, class_names=None) -> Dict[str, float]:
     """Epoch metrics with the reference's names (model_lightning_swin_hp.py:74-102)."""
     iou = np.asarray(iou_from_confmat(state["confmat"]))

@@ -75,6 +75,10 @@ class SwinHPTransformerConfig:
     dtype: Optional[str] = None  # TPU extension: compute dtype
     gelu_approx: bool = False  # TPU extension: tanh GELU (bf16-indistinguishable, faster)
     attention_impl: str = "auto"  # TPU extension: "auto" | "xla" | "pallas"
+    # TPU extension: fuse FinalPatchExpand+LN+head+CE into one Pallas kernel for
+    # SEGMENTATION TRAIN steps (ops/final_head.py; the step's confusion-matrix
+    # metrics come from the kernel).  Eval/predict always use the plain tail.
+    fused_final_head: bool = False
 
     @property
     def compute_dtype(self):
@@ -368,7 +372,10 @@ class UnetDecoder(nn.Module):
     dpr: List[float]
 
     @nn.compact
-    def __call__(self, x, x_downsample, deterministic: bool = True):
+    def __call__(self, x, x_downsample, deterministic: bool = True, tail: bool = True):
+        """``tail=False`` stops after norm_up and returns the (B, N, C) tokens —
+        the input of the fused expand+LN+head+CE kernel (ops/final_head.py); the
+        'up'/'output' params are untouched in that mode (they exist from init)."""
         cfg = self.config
         num_layers = len(cfg.depths)
         num_patches = self.data_spec.dim_in // cfg.patch_size
@@ -397,6 +404,8 @@ class UnetDecoder(nn.Module):
                 )(x, deterministic)
 
         x = LayerNorm(dtype=dt, name="norm_up")(x)
+        if not tail:
+            return x
         x = FinalPatchExpand_X4(patch_size=cfg.patch_size, dim=cfg.embed_dim, dtype=dt, name="up")(x)
         x = dense(self.data_spec.f_out, use_bias=False, dtype=dt, name="output")(x)
         return x
@@ -412,7 +421,7 @@ class SwinHPTransformerSys(nn.Module):
     data_spec: DataSpec
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, tail: bool = True):
         cfg = self.config
         spec = self.data_spec
         num_layers = len(cfg.depths)
@@ -462,6 +471,8 @@ class SwinHPTransformerSys(nn.Module):
         if cfg.dev_mode:
             print(f"forward_features after norm: {x.shape}")
         x = UnetDecoder(config=cfg, data_spec=spec, dpr=dpr, name="decoder")(
-            x, x_downsample, deterministic
+            x, x_downsample, deterministic, tail
         )
+        if not tail:
+            return x  # (B, N, C) tokens after norm_up, compute dtype
         return x.astype(jnp.float32)

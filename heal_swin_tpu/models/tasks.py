@@ -81,9 +81,56 @@ class _SegmenterBase:
     def init_variables(self, rng, imgs):
         return self.model.init(rng, jnp.asarray(imgs), True)
 
+    def _fused_tail_ok(self, sample_mask):
+        """Gate for the fused expand+LN+head+CE train path (ops/final_head.py):
+        HP model with the config flag on, no eval padding mask (the kernel's
+        confusion matrix counts every element)."""
+        cfg = getattr(self.config, "swin_hp_transformer_config", None)
+        if cfg is None or not getattr(cfg, "fused_final_head", False):
+            return False
+        if sample_mask is not None:
+            return False
+        if jax.default_backend() != "tpu" and not self._fh_interpret():
+            return False
+        from heal_swin_tpu.ops import final_head as fh
+
+        npix = self.data_spec.dim_in
+        T = npix // cfg.patch_size  # tokens per sample (batch folds in at call time)
+        return fh.supported(T, cfg.embed_dim, self.num_classes, cfg.patch_size,
+                            cfg.compute_dtype)
+
+    @staticmethod
+    def _fh_interpret():
+        import os
+
+        return os.environ.get("HEAL_SWIN_FH_INTERPRET") == "1"
+
     def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None):
-        """Returns (loss, logits).  imgs float, targets int."""
+        """Returns (loss, outputs): outputs are the (B, npix, f_out) logits, or the
+        (F, F) step confusion matrix on the fused train path (metric_update handles
+        both)."""
         rngs = {"dropout": rng} if rng is not None else None
+        if self._fused_tail_ok(sample_mask):
+            from heal_swin_tpu.ops import final_head as fh
+
+            cfg = self.config.swin_hp_transformer_config
+            p = cfg.patch_size
+            feats = self.model.apply(params, imgs, deterministic, False, rngs=rngs)
+            B, N, C = feats.shape
+            pp = params["params"]["decoder"]
+            y = targets.reshape(B * N, p)
+            welem = jnp.take(
+                jnp.asarray(self.class_weights, jnp.float32), y, axis=0
+            )
+            loss, cm = fh.fused_final_head(
+                feats.reshape(B * N, C),
+                pp["up"]["expand"]["kernel"],
+                pp["up"]["norm"]["ln"]["scale"],
+                pp["up"]["norm"]["ln"]["bias"],
+                pp["output"]["kernel"],
+                y, welem, patch_size=p, interpret=self._fh_interpret(),
+            )
+            return loss, cm
         logits = self.model.apply(params, imgs, deterministic, rngs=rngs)
         loss = weighted_cross_entropy(
             logits, targets, jnp.asarray(self.class_weights), sample_mask=sample_mask
@@ -98,8 +145,11 @@ class _SegmenterBase:
     def metric_init(self):
         return M.seg_state_init(self.num_classes)
 
-    def metric_update(self, state, logits, targets, sample_mask=None):
-        preds = jnp.argmax(logits, axis=-1)
+    def metric_update(self, state, outputs, targets, sample_mask=None):
+        if outputs.ndim == 2 and outputs.shape == (self.num_classes, self.num_classes):
+            # fused train path: outputs IS the step's confusion matrix
+            return M.seg_state_merge_confmat(state, outputs)
+        preds = jnp.argmax(outputs, axis=-1)
         return M.seg_state_update(state, preds, targets, self.num_classes, sample_mask)
 
     def metric_compute(self, state, prefix, with_per_class=False):

@@ -53,13 +53,14 @@ def _ln_rows(hf, gamma, beta):
 
 def reference_final_head(x, we, gamma, beta, wh, y, welem, *, patch_size):
     """Pure-jnp oracle on the kernel layout.  x: (T, C); we: (C, p*C) flax layout;
-    wh: (C, F); y/welem: (T, p).  Returns (loss, preds (T, p) int32)."""
+    wh: (C, F); y/welem: (T, p).  Returns (loss, confmat (F, F) f32) with
+    confmat[t, q] = #pixels with target t and argmax-pred q."""
     p, C = patch_size, x.shape[-1]
     F = wh.shape[-1]
     h = jnp.dot(x, we.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     num = jnp.zeros((), jnp.float32)
     den = jnp.zeros((), jnp.float32)
-    preds = []
+    cm = jnp.zeros((F, F), jnp.float32)
     for i in range(p):
         hf = h[:, i * C:(i + 1) * C].astype(jnp.float32)
         z, _, _ = _ln_rows(hf, gamma.astype(jnp.float32), beta.astype(jnp.float32))
@@ -73,13 +74,14 @@ def reference_final_head(x, we, gamma, beta, wh, y, welem, *, patch_size):
         w = welem[:, i].astype(jnp.float32)
         num = num + jnp.sum(w * nll)
         den = den + jnp.sum(w)
-        preds.append(jnp.argmax(lf, axis=-1).astype(jnp.int32))
-    return num / jnp.maximum(den, 1e-12), jnp.stack(preds, axis=1)
+        pred_oh = jax.nn.one_hot(jnp.argmax(lf, axis=-1), F, dtype=jnp.float32)
+        cm = cm + onehot.T @ pred_oh
+    return num / jnp.maximum(den, 1e-12), cm
 
 
 def _slice_ce(lf, yi, wi):
     """Shared CE math on one slice's f32 logits.  lf: (rblk, F); yi/wi: (rblk, 1).
-    Returns (softmax, onehot, nll (rblk,1), pred (rblk,1), mx, lse)."""
+    Returns (softmax, onehot, nll (rblk,1), pred_onehot (rblk,F))."""
     F = lf.shape[-1]
     mx = jnp.max(lf, axis=-1, keepdims=True)
     e = jnp.exp(lf - mx)
@@ -89,16 +91,18 @@ def _slice_ce(lf, yi, wi):
     onehot = (lane == yi).astype(jnp.float32)
     ly = jnp.sum(lf * onehot, axis=-1, keepdims=True)
     nll = mx + lse - ly
-    pred = jnp.min(jnp.where(lf >= mx, lane, F), axis=-1, keepdims=True)
-    return e / se, onehot, nll, pred.astype(jnp.int32)
+    # first-max index (argmax tie-break = lowest index), kept as (rblk, 1)
+    pred_idx = jnp.min(jnp.where(lf >= mx, lane, F), axis=-1, keepdims=True)
+    return e / se, onehot, nll, pred_idx
 
 
 def _fwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref,
-                num_ref, den_ref, preds_ref, *, p, C, F):
+                num_ref, den_ref, cm_ref, *, p, C, F):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         num_ref[...] = jnp.zeros_like(num_ref)
         den_ref[...] = jnp.zeros_like(den_ref)
+        cm_ref[...] = jnp.zeros_like(cm_ref)
 
     x = x_ref[...]
     gamma = g_ref[...]  # (1, C) f32
@@ -106,6 +110,7 @@ def _fwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref,
     wh = wh_ref[...]
     num = jnp.zeros((), jnp.float32)
     den = jnp.zeros((), jnp.float32)
+    cm = jnp.zeros((1, F * F), jnp.float32)
     for i in range(p):
         h = jax.lax.dot_general(
             x, we_ref[i], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -117,12 +122,18 @@ def _fwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref,
         ).astype(x.dtype)
         yi = y_ref[:, i:i + 1]
         wi = w_ref[:, i:i + 1]
-        _, _, nll, pred = _slice_ce(logits.astype(jnp.float32), yi, wi)
+        _, onehot, nll, pred_idx = _slice_ce(logits.astype(jnp.float32), yi, wi)
         num += jnp.sum(wi * nll)
         den += jnp.sum(wi)
-        preds_ref[:, i:i + 1] = pred
+        # confusion-matrix contribution via a combined-index one-hot + sublane
+        # reduce — a dim-0 (F, F) contraction would force a transpose relayout of
+        # the narrow operands (~5 ms/step measured); this is 3 cheap VPU passes
+        comb = yi * F + pred_idx  # (rblk, 1) in [0, F*F)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], F * F), 1)
+        cm += jnp.sum((lane2 == comb).astype(jnp.float32), axis=0, keepdims=True)
     num_ref[...] = num_ref[...] + num
     den_ref[...] = den_ref[...] + den
+    cm_ref[...] = cm_ref[...] + cm
 
 
 def _bwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref, scale_ref,
@@ -155,7 +166,7 @@ def _bwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref, scale_ref,
         ).astype(x.dtype)
         yi = y_ref[:, i:i + 1]
         wi = w_ref[:, i:i + 1]
-        sm, onehot, _, _ = _slice_ce(logits.astype(jnp.float32), yi, wi)
+        sm, onehot, _, _pred_idx = _slice_ce(logits.astype(jnp.float32), yi, wi)
         dlogits = (scale * wi) * (sm - onehot)  # (rblk, F) f32
         dlog_lo = dlogits.astype(x.dtype)
         dwh_acc += jax.lax.dot_general(
@@ -222,12 +233,12 @@ def _make_fused(T: int, C: int, F: int, p: int, rblk: int, dtype_name: str,
         out_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F * F), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T, p), jnp.int32),
+            jax.ShapeDtypeStruct((1, F * F), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -267,24 +278,24 @@ def _make_fused(T: int, C: int, F: int, p: int, rblk: int, dtype_name: str,
         return we.reshape(C, p, C).transpose(1, 0, 2).astype(like_dtype)
 
     def _run_fwd(x, we, gamma, beta, wh, y, welem):
-        num, den, preds = fwd_call(
+        num, den, cm = fwd_call(
             x, _split_we(we, x.dtype), gamma.reshape(1, C).astype(jnp.float32),
             beta.reshape(1, C).astype(jnp.float32), wh.astype(x.dtype), y, welem,
         )
         den_s = jnp.maximum(den[0, 0], 1e-12)
-        return num[0, 0] / den_s, den_s, preds
+        return num[0, 0] / den_s, den_s, cm.reshape(F, F)
 
     @jax.custom_vjp
     def fused(x, we, gamma, beta, wh, y, welem):
-        loss, _, preds = _run_fwd(x, we, gamma, beta, wh, y, welem)
-        return loss, preds
+        loss, _, cm = _run_fwd(x, we, gamma, beta, wh, y, welem)
+        return loss, cm
 
     def fwd_rule(x, we, gamma, beta, wh, y, welem):
-        loss, den_s, preds = _run_fwd(x, we, gamma, beta, wh, y, welem)
-        return (loss, preds), (x, we, gamma, beta, wh, y, welem, den_s)
+        loss, den_s, cm = _run_fwd(x, we, gamma, beta, wh, y, welem)
+        return (loss, cm), (x, we, gamma, beta, wh, y, welem, den_s)
 
     def bwd_rule(res, cts):
-        gloss, _ = cts  # preds carry no gradient
+        gloss, _ = cts  # the confusion matrix carries no gradient
         x, we, gamma, beta, wh, y, welem, den_s = res
         scale = (gloss / den_s).astype(jnp.float32).reshape(1, 1)
         dx, dwe_r, dwh, dg, db = bwd_call(
@@ -305,9 +316,10 @@ def fused_final_head(x, we, gamma, beta, wh, y, welem, *, patch_size: int,
     """Fused expand+LN+head+CE.  x: (T, C) tokens after norm_up; we: (C, p*C)
     expand kernel (flax layout); gamma/beta: (C,) LN params; wh: (C, F) head
     kernel; y: (T, p) int32 targets; welem: (T, p) f32 per-element loss weights
-    (class_weight[y] x optional sample mask).  Returns (loss, preds (T, p) int32),
-    with preds laid out so preds.reshape(T*p) matches argmax over the unfused
-    (T*p, F) logits."""
+    (class_weight[y] x optional sample mask).  Returns (loss, confmat (F, F) f32)
+    where confmat[t, q] counts pixels with target t and argmax-pred q over ALL
+    elements (the welem weighting applies to the loss only) — equal to the
+    confusion matrix of argmax over the unfused (T*p, F) logits."""
     T, C = x.shape
     F = wh.shape[-1]
     p = patch_size

@@ -1,0 +1,166 @@
+"""Fused decoder-tail kernel (ops/final_head.py): oracle parity in interpret mode,
+and end-to-end task parity — the fused segmentation train path (loss + step confmat
+from the kernel) must match the plain tail + weighted CE + argmax metrics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from heal_swin_tpu.ops import final_head as fh
+
+T, C, F, P = 256, 96, 10, 4
+
+
+@pytest.fixture(scope="module")
+def ops():
+    rng = np.random.default_rng(0)
+    return dict(
+        x=jnp.asarray(rng.normal(size=(T, C)), jnp.float32),
+        we=jnp.asarray(rng.normal(size=(C, P * C)) * 0.05, jnp.float32),
+        wh=jnp.asarray(rng.normal(size=(C, F)) * 0.05, jnp.float32),
+        g=jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1 + 1.0),
+        b=jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1),
+        y=jnp.asarray(rng.integers(0, F, size=(T, P)), jnp.int32),
+        w=jnp.asarray(rng.uniform(0.5, 2.0, size=(T, P)), jnp.float32),
+    )
+
+
+def test_kernel_matches_oracle(ops):
+    ref_loss, ref_cm = fh.reference_final_head(
+        ops["x"], ops["we"], ops["g"], ops["b"], ops["wh"], ops["y"], ops["w"],
+        patch_size=P,
+    )
+    loss, cm = fh.fused_final_head(
+        ops["x"], ops["we"], ops["g"], ops["b"], ops["wh"], ops["y"], ops["w"],
+        patch_size=P, interpret=True, rblk=128,
+    )
+    assert abs(float(ref_loss) - float(loss)) < 1e-5
+    np.testing.assert_array_equal(np.asarray(ref_cm), np.asarray(cm))
+    assert float(jnp.sum(cm)) == T * P
+
+
+def test_kernel_gradients_match_oracle(ops):
+    def L(fn):
+        def inner(x, we, g, b, wh):
+            l, _ = fn(x, we, g, b, wh, ops["y"], ops["w"], patch_size=P)
+            return l
+        return inner
+
+    gr = jax.grad(L(fh.reference_final_head), argnums=(0, 1, 2, 3, 4))(
+        ops["x"], ops["we"], ops["g"], ops["b"], ops["wh"]
+    )
+    import functools
+
+    fused = functools.partial(fh.fused_final_head, interpret=True, rblk=128)
+    gf = jax.grad(L(fused), argnums=(0, 1, 2, 3, 4))(
+        ops["x"], ops["we"], ops["g"], ops["b"], ops["wh"]
+    )
+    for name, a, b in zip(["dx", "dwe", "dg", "db", "dwh"], gr, gf):
+        d = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(a))) + 1e-12
+        assert d / s < 2e-5, (name, d / s)
+
+
+def test_loss_matches_weighted_cross_entropy(ops):
+    """The kernel's loss equals training/losses.weighted_cross_entropy on the
+    equivalent unfused logits (same reshape semantics)."""
+    from heal_swin_tpu.training.losses import weighted_cross_entropy
+
+    x, we, g, b, wh = ops["x"], ops["we"], ops["g"], ops["b"], ops["wh"]
+    from heal_swin_tpu.models.layers import _ln_fn
+
+    h = (x @ we).reshape(T * P, C)
+    z = _ln_fn(h, g, b, 1e-5)
+    logits = z @ wh
+    # per-element class weights: welem[t, i] = cw_effective -> here arbitrary
+    # weights, so compare against the weighted form directly
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(ops["y"].reshape(-1), F)
+    nll = -jnp.sum(logp * onehot, axis=-1)
+    w = ops["w"].reshape(-1)
+    expected = jnp.sum(w * nll) / jnp.sum(w)
+
+    loss, _ = fh.fused_final_head(x, we, g, b, wh, ops["y"], ops["w"],
+                                  patch_size=P, interpret=True, rblk=128)
+    assert abs(float(loss) - float(expected)) < 1e-5
+
+    # and with uniform weights it equals weighted_cross_entropy itself
+    ones = jnp.ones_like(ops["w"])
+    loss_u, _ = fh.fused_final_head(x, we, g, b, wh, ops["y"], ones,
+                                    patch_size=P, interpret=True, rblk=128)
+    wce = weighted_cross_entropy(logits[None], ops["y"].reshape(1, T * P))
+    assert abs(float(loss_u) - float(wce)) < 1e-5
+
+
+def test_task_fused_path_matches_plain(monkeypatch):
+    """Segmentation task with fused_final_head=True: same loss, same gradients,
+    same epoch metrics as the plain path."""
+    monkeypatch.setenv("HEAL_SWIN_FH_INTERPRET", "1")
+    import dataclasses
+
+    from heal_swin_tpu.data.data_spec import DataSpec
+    from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig
+    from heal_swin_tpu.models.tasks import (
+        WoodscapeSegmenterSwinHP,
+        WoodscapeSegmenterSwinHPConfig,
+    )
+
+    nside = 8
+    npix = 8 * nside * nside
+    cfg = SwinHPTransformerConfig(
+        patch_size=4, window_size=16, shift_size=8, shift_strategy="ring_shift",
+        embed_dim=8, depths=[2, 1], num_heads=[2, 2], drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0,
+    )
+    spec = DataSpec(dim_in=npix, f_in=3, f_out=5, base_pix=8)
+    weights = [1.0, 2.0, 0.5, 1.0, 1.0]
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.normal(size=(2, npix, 3)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 5, size=(2, npix)), jnp.int32)
+
+    def build(fused):
+        c = dataclasses.replace(cfg, fused_final_head=fused)
+        task = WoodscapeSegmenterSwinHP(
+            WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=c,
+                                           class_weights=weights),
+            spec,
+        )
+        params = jax.jit(task.init_variables)(jax.random.PRNGKey(0), imgs[:1])
+        return task, params
+
+    task_p, params = build(False)
+    task_f, params_f = build(True)
+    chex_equal = jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: jnp.array_equal(a, b), params, params_f)
+    )
+    assert bool(chex_equal)
+    assert task_f._fused_tail_ok(None) and not task_p._fused_tail_ok(None)
+
+    def loss_of(task):
+        def f(p):
+            loss, out = task.loss_fn(p, imgs, targets, deterministic=True)
+            return loss, out
+        return f
+
+    (loss_p, logits), grads_p = jax.value_and_grad(loss_of(task_p), has_aux=True)(params)
+    (loss_f, cm), grads_f = jax.value_and_grad(loss_of(task_f), has_aux=True)(params)
+    assert abs(float(loss_p) - float(loss_f)) < 1e-5
+    assert cm.shape == (5, 5)
+
+    flat_p, td = jax.tree_util.tree_flatten_with_path(grads_p)
+    flat_f, _ = jax.tree_util.tree_flatten(grads_f)
+    for (path, a), b in zip(flat_p, flat_f):
+        d = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert d / max(s, 1e-6) < 5e-4, (jax.tree_util.keystr(path), d, s)
+
+    # step metrics from the kernel confmat == argmax-over-logits metrics
+    mstate_p = task_p.metric_update(task_p.metric_init(), logits, targets)
+    mstate_f = task_f.metric_update(task_f.metric_init(), cm, targets)
+    out_p = task_p.metric_compute(mstate_p, "train_")
+    out_f = task_f.metric_compute(mstate_f, "train_")
+    assert out_p.keys() == out_f.keys()
+    for k in out_p:
+        assert out_p[k] == pytest.approx(out_f[k], abs=1e-6), k
