@@ -13,7 +13,10 @@ train_time_per_sample ~400 ms — derived from the model's ~2 TFLOP/image forwar
 at the ~15-25% fp32 utilization typical of this unfused windowed-attention workload).
 vs_baseline = our_images_per_sec_per_chip / 2.5.
 
-Env knobs: BENCH_NSIDE (default 256), BENCH_BATCH (default 2), BENCH_STEPS (default 10).
+Env knobs: BENCH_NSIDE (default 256), BENCH_BATCH (default 2), BENCH_STEPS (default 10),
+BENCH_FUSED=0 to disable the fused decoder-tail kernel (default on, as in training),
+BENCH_METRICS=1 to include per-step train-metric accumulation in the step (the real
+training-step shape; the fused tail then gets its confusion matrix for free).
 
 BENCH_INPUT=real benchmarks the FULL input path instead of pre-generated device
 tensors: host PNG decode -> prefetch loader -> on-device fisheye->HEALPix projection
@@ -162,6 +165,7 @@ def main():
             rel_pos_bias="flat", embed_dim=96, depths=[2, 2, 6, 2],
             num_heads=[3, 6, 12, 24], use_cos_attn=True, use_v2_norm_placement=True,
             dtype="bfloat16", gelu_approx=True,
+            fused_final_head=os.environ.get("BENCH_FUSED", "1") != "0",
         )
         spec = DataSpec(dim_in=npix, f_in=3, f_out=n_classes, base_pix=8)
         model = SwinHPTransformerSys(cfg, spec)
@@ -178,27 +182,54 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, x, y, step_rng):
-        def loss_fn(p):
-            logits = model.apply(p, x, False, rngs={"dropout": step_rng})
-            return weighted_cross_entropy(logits, y)
+    fused_tail = which == "swin_hp" and cfg.fused_final_head
+    with_metrics = which == "swin_hp" and bool(os.environ.get("BENCH_METRICS"))
+    task = None
+    if fused_tail or with_metrics:
+        mode = " + per-step train metrics" if with_metrics else ""
+        print(f"bench: task train path (fused={fused_tail}){mode}", file=sys.stderr)
+        from heal_swin_tpu.models.tasks import (
+            WoodscapeSegmenterSwinHP, WoodscapeSegmenterSwinHPConfig,
+        )
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        task = WoodscapeSegmenterSwinHP(
+            WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=cfg), spec
+        )
+        task.model = model  # same module/params
+        if fused_tail:
+            assert task._fused_tail_ok(None), "fused tail gate rejected the bench config"
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, mstate, x, y, step_rng):
+        def loss_fn(p):
+            if task is not None:
+                return task.loss_fn(p, x, y, rng=step_rng, deterministic=False)
+            logits = model.apply(p, x, False, rngs={"dropout": step_rng})
+            return weighted_cross_entropy(logits, y), logits
+
+        (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if with_metrics:
+            mstate = task.metric_update(mstate, outputs, y)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, mstate, loss
+
+    mstate = task.metric_init() if with_metrics else jnp.zeros(())
 
     # warmup / compile.  NOTE: on the axon TPU client block_until_ready() does not
     # reliably synchronize; fetching the value is the only dependable barrier.
     t0 = time.time()
-    params, opt_state, loss = train_step(params, opt_state, x, y, jax.random.PRNGKey(1))
+    params, opt_state, mstate, loss = train_step(
+        params, opt_state, mstate, x, y, jax.random.PRNGKey(1)
+    )
     print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
           file=sys.stderr)
 
     step_rng = jax.random.PRNGKey(2)  # created once: per-step host work adds tunnel latency
     t0 = time.time()
     for i in range(steps):
-        params, opt_state, loss = train_step(params, opt_state, x, y, step_rng)
+        params, opt_state, mstate, loss = train_step(
+            params, opt_state, mstate, x, y, step_rng
+        )
     _ = float(loss)  # forces the full dependency chain
     dt = time.time() - t0
 

@@ -91,8 +91,13 @@ def _slice_ce(lf, yi, wi):
     onehot = (lane == yi).astype(jnp.float32)
     ly = jnp.sum(lf * onehot, axis=-1, keepdims=True)
     nll = mx + lse - ly
-    # first-max index (argmax tie-break = lowest index), kept as (rblk, 1)
-    pred_idx = jnp.min(jnp.where(lf >= mx, lane, F), axis=-1, keepdims=True)
+    # first-max index (argmax tie-break = lowest index), kept as (rblk, 1).
+    # f32 lanes: small ints are exact in f32 and the f32 lane min-reduce is much
+    # cheaper than i32 on the VPU (measured in benchmarks/final_head_probe.py).
+    lane_f = lane.astype(jnp.float32)  # Mosaic iota is int-only; convert
+    pred_idx = jnp.min(
+        jnp.where(lf >= mx, lane_f, jnp.float32(F)), axis=-1, keepdims=True
+    )
     return e / se, onehot, nll, pred_idx
 
 
@@ -128,8 +133,10 @@ def _fwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref,
         # confusion-matrix contribution via a combined-index one-hot + sublane
         # reduce — a dim-0 (F, F) contraction would force a transpose relayout of
         # the narrow operands (~5 ms/step measured); this is 3 cheap VPU passes
-        comb = yi * F + pred_idx  # (rblk, 1) in [0, F*F)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], F * F), 1)
+        comb = yi.astype(jnp.float32) * F + pred_idx  # (rblk, 1) in [0, F*F), exact f32
+        lane2 = jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[0], F * F), 1
+        ).astype(jnp.float32)
         cm += jnp.sum((lane2 == comb).astype(jnp.float32), axis=0, keepdims=True)
     num_ref[...] = num_ref[...] + num
     den_ref[...] = den_ref[...] + den
