@@ -44,7 +44,13 @@ def main_real_input():
     batch = int(os.environ.get("BENCH_BATCH", 2))
     epochs = int(os.environ.get("BENCH_EPOCHS", 10))
 
-    root = Path(os.environ.get("BENCH_DATA_DIR", "/tmp/heal_swin_bench_data"))
+    n_per_cam = int(os.environ.get("BENCH_N_PER_CAM", 4))  # 3/4 go to train
+    root = Path(
+        os.environ.get(
+            "BENCH_DATA_DIR",
+            f"/tmp/heal_swin_bench_data{'' if n_per_cam == 4 else n_per_cam}",
+        )
+    )
     os.environ["HEAL_SWIN_DATA_ROOT"] = str(root)
     os.environ.setdefault("HEAL_SWIN_MLRUNS", str(root / "mlruns"))
 
@@ -53,7 +59,7 @@ def main_real_input():
     if not (root / "woodscape").exists():
         print("generating full-res (966x1280) synthetic WoodScape fixture...",
               file=sys.stderr)
-        generate(root, version="woodscape", n_per_cam=4, W=1280, H=966, seed=0)
+        generate(root, version="woodscape", n_per_cam=n_per_cam, W=1280, H=966, seed=0)
 
     from heal_swin_tpu.data.data import get_data_module
     from heal_swin_tpu.data.data_config import WoodscapeCommonConfig, WoodscapeHPConfig

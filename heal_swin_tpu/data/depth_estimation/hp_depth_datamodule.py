@@ -275,7 +275,8 @@ class WoodscapeHPDepthDataModule:
                 self._cal_infos, self.nside, self.base_pix, self.rotate_pole
             )
         depths, cal_ids = targets
-        hp_imgs = self._projector.project_images(imgs, cal_ids)  # f32 (npz stores f32)
+        # imgs arrive as the uint8 wire format (_OnDeviceProjectionDataset)
+        hp_imgs = self._projector.project_images(imgs.astype(jnp.float32), cal_ids)
         m = self._projector.project_masks(depths, cal_ids, 0)
         m = jnp.where(m == 0.0, jnp.inf, m)
         if self.mask_background:

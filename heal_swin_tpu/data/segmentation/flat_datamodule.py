@@ -20,11 +20,14 @@ from heal_swin_tpu.data.segmentation.hp_datamodule import (
 
 
 class _ModelFacingSemanticImages(flat_datasets.WoodscapeSemanticImagesDataset):
-    """(img (H, W, 3) float32, mask (H, W) int32)."""
+    """(img (H, W, 3) uint8, mask (H, W) uint8) — uint8 WIRE FORMAT: the
+    host->device hop is bandwidth-bound (remote TPU tunnel), so samples ship as
+    uint8 and the datamodule's device_batch_transform casts to f32/i32 inside
+    the jitted step."""
 
     def __getitem__(self, idx):
         img, mask = super().__getitem__(idx)
-        return img.transpose(1, 2, 0).astype(np.float32), mask.astype(np.int32)
+        return img.transpose(1, 2, 0), mask
 
 
 class WoodscapeSemanticImagesPredictDataset:
@@ -126,6 +129,7 @@ class WoodscapeFlatSegmentationDataModule:
         )
         self.train_dataset = _ModelFacingSemanticImages(part="train", **kwargs)
         self.val_dataset = _ModelFacingSemanticImages(part="val", **kwargs)
+        self.device_batch_transform = self._device_cast_batch
         kwargs.pop("train_share")
         pred_samples = -1 if self.overfit_batches > 0 else c.pred_samples
         self.pred_dataset = WoodscapeSemanticImagesPredictDataset(
@@ -157,6 +161,14 @@ class WoodscapeFlatSegmentationDataModule:
             self.pred_dataset, batch_size=self.common.pred_batch_size, shuffle=False,
             collate_fn=default_collate,
         )
+
+    @staticmethod
+    def _device_cast_batch(imgs, targets):
+        """On-device cast of the uint8 wire format to model dtypes (traced into
+        the jitted train/eval steps by the Trainer)."""
+        import jax.numpy as jnp
+
+        return imgs.astype(jnp.float32), targets.astype(jnp.int32)
 
     def get_img_features(self):
         return 3

@@ -19,6 +19,7 @@ Honored PLConfig flags are documented in training/train_config.py.
 
 from __future__ import annotations
 
+import itertools
 import math
 import time
 from dataclasses import dataclass
@@ -108,9 +109,58 @@ class Trainer:
         return out
 
     def _put_batch(self, arrays):
+        # np.asarray (NOT jnp.asarray): jnp would first ship the array to the
+        # default device unsharded — a second full copy over the (slow) host
+        # link before the sharded placement
         return jax.tree.map(
-            lambda a: jax.device_put(jnp.asarray(a), self.batch_sharding), arrays
+            lambda a: jax.device_put(np.asarray(a), self.batch_sharding), arrays
         )
+
+    def _device_prefetch(self, batches, depth=2):
+        """Double-buffered host->device staging: a daemon thread pulls host
+        batches and device_puts them ``depth`` ahead so the transfer (the
+        bottleneck on bandwidth-limited hosts, e.g. the remote-TPU tunnel)
+        overlaps the previous step's compute.  ``batches`` yields
+        (host_batch_pytree, extras...) tuples; yields (device_pytree, extras...).
+        """
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        end = object()
+        stop = threading.Event()
+
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
+        def worker():
+            try:
+                for batch, *extras in batches:
+                    if stop.is_set() or not put((self._put_batch(batch), *extras)):
+                        return
+            except BaseException as e:  # re-raised on the consumer side
+                put((end, e))
+                return
+            put((end, None))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item[0] is end:
+                    if item[1] is not None:
+                        raise item[1]
+                    return
+                yield item
+        finally:
+            stop.set()  # early exit (batch limit / max_steps): stop staging
 
     def _pad_batch(self, imgs, targets):
         """Pad a ragged batch up to a multiple of n_devices; returns sample mask.
@@ -344,17 +394,18 @@ class Trainer:
             t0 = time.time()
             samples_seen = 0
 
-            for i, (imgs, targets) in enumerate(train_loader):
-                if i >= n_train_batches:
-                    break
-                imgs_d, targets_d = self._put_batch((imgs, targets))
+            def staged_train_batches():
+                for imgs, targets in itertools.islice(iter(train_loader), n_train_batches):
+                    yield (imgs, targets), imgs.shape[0]
+
+            for (imgs_d, targets_d), bsz in self._device_prefetch(staged_train_batches()):
                 step_rng = jax.random.fold_in(rng, self.global_step)
                 params, opt_state, mstate, loss_acc, loss = train_step(
                     params, opt_state, mstate, loss_acc, imgs_d, targets_d, step_rng
                 )
                 self.global_step += 1
                 n_steps_epoch += 1
-                samples_seen += imgs.shape[0]
+                samples_seen += bsz
 
                 if pl.terminate_on_nan or (self.global_step % pl.log_every_n_steps == 0):
                     loss_val = float(loss)
@@ -491,11 +542,11 @@ class Trainer:
             task, getattr(datamodule, "device_batch_transform", None)
         )
 
-        for i, (imgs, targets) in enumerate(loader):
-            if i >= n:
-                break
-            imgs, targets, mask = self._pad_batch(imgs, targets)
-            imgs_d, targets_d, mask_d = self._put_batch((imgs, targets, mask))
+        def staged_val_batches():
+            for imgs, targets in itertools.islice(iter(loader), n):
+                yield (self._pad_batch(imgs, targets),)
+
+        for ((imgs_d, targets_d, mask_d),) in self._device_prefetch(staged_val_batches()):
             mstate, batch_loss, valid = eval_step(params, mstate, imgs_d, targets_d, mask_d)
             loss_sum += float(batch_loss)
             count += float(valid)
