@@ -419,6 +419,12 @@ class Trainer:
                     stop = True
                     break
 
+            if n_steps_epoch:
+                # sync on the last step's loss BEFORE stopping the timer: dispatch
+                # is async, so without this the epoch time would exclude whatever
+                # compute is still queued (params chain step-to-step, so one fetch
+                # drains everything; block_until_ready is not reliable on axon)
+                float(loss)
             epoch_time = time.time() - t0
             train_metrics = task.metric_compute(mstate, "train_")
             if n_steps_epoch:
