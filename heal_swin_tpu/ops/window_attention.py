@@ -210,9 +210,8 @@ def _attn_bwd_body_cos_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref,
     for head in range(h):
         do = dout_ref[:, :, head * (C // h):(head + 1) * (C // h)]
         _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do, dqkv_ref, dbias_ref,
-                           dls_ref, aq_ref, bk_ref, pre, head, C=C, h=h,
-                           has_bias=has_bias)
-    _cos_wide_tangent(aq_ref, bk_ref, pre, dqkv_ref, C=C, h=h)
+                           aq_ref, bk_ref, pre, head, C=C, h=h, has_bias=has_bias)
+    _cos_wide_tangent(aq_ref, bk_ref, pre, dqkv_ref, dls_ref, C=C, h=h)
 
 
 def _cos_wide_preamble(qkv, C, h, scale_vec):
@@ -268,20 +267,19 @@ def _cos_wide_softmax(qkv, mask, bias_ref, scale_ref, pre, head, *, C, h, has_bi
 
 
 def _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do, dqkv_ref, dbias_ref,
-                       dls_ref, aq_ref, bk_ref, pre, head, *, C, h, has_bias,
-                       p=None, s_dot=None):
-    """dv / dbias / dls / tangent-dot inputs for one head.  Pass precomputed
-    (s_dot, p) to skip the softmax recompute (epilogue-fused backward caches p)."""
+                       aq_ref, bk_ref, pre, head, *, C, h, has_bias, p=None):
+    """dv / dbias / tangent-dot inputs for one head.  Pass a precomputed p to skip
+    the softmax recompute (the epilogue-fused backward caches it).  dlogit_scale
+    needs no score recompute at all: dls_h = sum_ij ds_ij <qhat_i, khat_j>
+    = sum_i <aq_i, qhat_i>, and _cos_wide_tangent already reduces exactly those
+    per-head row sums (rdq) for the tangent projection — it accumulates dls there."""
     f32 = jnp.float32
     hd = C // h
     sl = slice(head * hd, (head + 1) * hd)
     v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
     if p is None:
-        s_dot, p = _cos_wide_softmax(qkv, mask, bias_ref, scale_ref, pre, head,
-                                     C=C, h=h, has_bias=has_bias)
-    elif s_dot is None:  # p cached (epilogue backward) — dls still needs the scores
-        s_dot = jax.lax.dot_general(pre["qhat_s"][:, :, sl], pre["khat_lo"][:, :, sl],
-                                    _BATCH_QK, preferred_element_type=f32)
+        _, p = _cos_wide_softmax(qkv, mask, bias_ref, scale_ref, pre, head,
+                                 C=C, h=h, has_bias=has_bias)
     p_lo = p.astype(v.dtype)
     dv = jax.lax.dot_general(p_lo, do, _BATCH_TN, preferred_element_type=f32)
     dqkv_ref[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd] = dv.astype(
@@ -291,7 +289,6 @@ def _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do, dqkv_ref, dbias_ref,
     ds = p * (dp - t)
     if has_bias:
         dbias_ref[head] += jnp.sum(ds, axis=0)
-    dls_ref[head, 0] += jnp.sum(ds * s_dot) / scale_ref[head, 0]
     ds_lo = ds.astype(qkv.dtype)
     aq_ref[:, :, sl] = jax.lax.dot_general(ds_lo, pre["khat_lo"][:, :, sl],
                                            _BATCH_AV, preferred_element_type=f32)
@@ -299,8 +296,11 @@ def _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do, dqkv_ref, dbias_ref,
                                            _BATCH_TN, preferred_element_type=f32)
 
 
-def _cos_wide_tangent(aq_ref, bk_ref, pre, dqkv_ref, *, C, h):
-    """Wide tangent-projection epilogue: dq/dk from the accumulated per-head dots."""
+def _cos_wide_tangent(aq_ref, bk_ref, pre, dqkv_ref, dls_ref, *, C, h):
+    """Wide tangent-projection epilogue: dq/dk from the accumulated per-head dots.
+    Also accumulates dlogit_scale: dls_h = sum_i <aq_i, qhat_i> over the block's
+    rows, which is exactly the column sum of the rdq reduction computed here anyway
+    (saves the epilogue backward a per-head score recompute dot)."""
     f32 = jnp.float32
     qhat, khat, inv, indt = pre["qhat"], pre["khat"], pre["inv"], pre["indt"]
     wblk, ws = qhat.shape[0], qhat.shape[1]
@@ -309,6 +309,9 @@ def _cos_wide_tangent(aq_ref, bk_ref, pre, dqkv_ref, *, C, h):
     aq = aq_ref[...]
     rdq = jax.lax.dot_general((aq * qhat).reshape(rows, C), ind_ch, _ROWS,
                               preferred_element_type=f32)  # (rows, h)
+    dls_col = jnp.sum(rdq, axis=0)  # (h,)
+    for head in range(h):
+        dls_ref[head, 0] += dls_col[head]
     rdq_exp = jax.lax.dot_general(rdq, indt, _ROWS,
                                   preferred_element_type=f32).reshape(wblk, ws, C)
     suq = inv[:, :h] * pre["scale_vec"][None, :]
@@ -908,9 +911,9 @@ def _bwd_kernel_xw_epi(gcol_ref, grow_ref, x_ref, w_ref, b_ref, wp_ref, bp_ref,
         sl = slice(head * hd, (head + 1) * hd)
         p = p_scr[head * wblk:(head + 1) * wblk]
         _cos_wide_head_bwd(qkv, mask, bias_ref, scale_ref, do_full[:, :, sl],
-                           dqkv_scr, dbias_ref, dls_ref, aq_scr, bk_scr, pre, head,
+                           dqkv_scr, dbias_ref, aq_scr, bk_scr, pre, head,
                            C=C, h=h, has_bias=has_bias, p=p)
-    _cos_wide_tangent(aq_scr, bk_scr, pre, dqkv_scr, C=C, h=h)
+    _cos_wide_tangent(aq_scr, bk_scr, pre, dqkv_scr, dls_ref, C=C, h=h)
 
     dqkv = dqkv_scr[...].reshape(rows, 3 * C)
     dx = jax.lax.dot_general(

@@ -44,7 +44,7 @@ def get_train_run_config():
     return SingleModelTrainRun(
         train=TrainConfig(
             mlflow_expmt="tpu_smoke",
-            run_name="smoke_tpu_convergence",
+            job_id="smoke_tpu_convergence",
             seed=42,
             eval_after_train=True,
         ),
