@@ -24,20 +24,42 @@ from flax import serialization
 
 
 def _to_numpy_tree(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # jax.device_get issues copy_to_host_async on every buffer before blocking,
+    # so the per-leaf transfer latency overlaps (vs a serial np.asarray per leaf
+    # — ~1800 round trips for params+opt_state at paper scale).
+    return jax.device_get(tree)
 
 
-def save_checkpoint(path, params, opt_state, meta: Dict[str, Any]):
+def serialize_checkpoint(params, opt_state, meta: Dict[str, Any]) -> bytes:
     state = {
         "params": serialization.to_state_dict(_to_numpy_tree(params)),
         "opt_state": serialization.to_state_dict(_to_numpy_tree(opt_state)),
         "meta": meta,
     }
-    data = serialization.msgpack_serialize(state)
+    return serialization.msgpack_serialize(state)
+
+
+def _write_bytes(path, data: bytes):
     tmp = str(path) + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def save_checkpoint(path, params, opt_state, meta: Dict[str, Any]):
+    _write_bytes(path, serialize_checkpoint(params, opt_state, meta))
+
+
+def _link_or_copy(src: Path, dst: Path):
+    """Hardlink dst to src's current inode (instant, no extra I/O); copy as a
+    fallback for filesystems without hardlinks.  A later atomic os.replace of
+    src swaps its directory entry only, so dst keeps the linked content."""
+    dst = Path(dst)
+    dst.unlink(missing_ok=True)
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy(src, dst)
 
 
 def load_checkpoint(path, params_like=None, opt_state_like=None):
@@ -67,9 +89,14 @@ class CheckpointManager:
 
     def save_epoch(self, epoch: int, metrics: Dict[str, float], params, opt_state,
                    meta: Dict[str, Any]):
-        """Save last.ckpt always; save epoch ckpt if in top-k of the monitored metric."""
+        """Save last.ckpt always; save epoch ckpt if in top-k of the monitored metric.
+
+        The state is fetched from device and serialized ONCE; the epoch file is a
+        hardlink to last.ckpt's bytes (at paper scale the state is ~400 MB — a second
+        fetch+write per epoch dominated wall time on slow disks)."""
         meta = dict(meta, epoch=epoch, metrics=metrics)
-        save_checkpoint(self.dir / "last.ckpt", params, opt_state, meta)
+        last = self.dir / "last.ckpt"
+        _write_bytes(last, serialize_checkpoint(params, opt_state, meta))
 
         value = metrics.get(self.monitor)
         if value is None:
@@ -79,7 +106,7 @@ class CheckpointManager:
             self._is_better(value, v) for v, _ in self.saved
         ):
             path = self.dir / fname
-            save_checkpoint(path, params, opt_state, meta)
+            _link_or_copy(last, path)
             self.saved.append((value, path))
             self.saved.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
             while len(self.saved) > self.save_top_k:
@@ -94,7 +121,7 @@ class CheckpointManager:
             return None
         best = self.saved[0][1]
         if best.exists():
-            shutil.copy(best, self.dir / "best.ckpt")
+            _link_or_copy(best, self.dir / "best.ckpt")
             return self.dir / "best.ckpt"
         return None
 
