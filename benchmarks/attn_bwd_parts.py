@@ -71,12 +71,23 @@ def make_bwd(*, C, h, wblk, variant):
             scale = scale_ref[head, 0]
             qh_s = qhat_s[:, :, sl]
             kh = khat_lo[:, :, sl]
-            s_dot = jax.lax.dot_general(qh_s, kh, wa._BATCH_QK,
-                                        preferred_element_type=f32)
-            bias_h = bias_ref[head]
-            s = s_dot + (bias_h - (jnp.max(bias_h) + scale))[None] + mask
-            e = jnp.exp(s)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            if variant == "wide_nosoft":
+                # p-caching upper bound: skip the QK score dot + exp/div (what a
+                # forward-cached softmax would save, EXCLUDING its HBM read cost)
+                s_dot = 1e-3 * mask
+                p = 0.01 + 1e-6 * mask
+            elif variant == "wide_nodot":
+                # skip only the QK score dot (keep exp/div) -> isolates dot vs exp
+                s_dot = 1e-3 * mask + bias_ref[head][None]
+                e = jnp.exp(s_dot)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+            else:
+                s_dot = jax.lax.dot_general(qh_s, kh, wa._BATCH_QK,
+                                            preferred_element_type=f32)
+                bias_h = bias_ref[head]
+                s = s_dot + (bias_h - (jnp.max(bias_h) + scale))[None] + mask
+                e = jnp.exp(s)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
             p_lo = p.astype(v.dtype)
             dv = jax.lax.dot_general(p_lo, do, wa._BATCH_TN,
                                      preferred_element_type=f32)
@@ -194,7 +205,7 @@ def make_bwd(*, C, h, wblk, variant):
         qkv = (qkv + b_ref[...][None]).astype(x.dtype)
         mask = jnp.where(gcol_ref[...] != grow_ref[...], wa.MASK_VALUE, 0.0).astype(
             jnp.float32)
-        if variant == "wide":
+        if variant.startswith("wide"):
             body_wide(qkv, mask, bias_ref, scale_ref, dout_ref, dqkv_ref, dbias_ref,
                       dls_ref, *scratches)
         else:
@@ -229,7 +240,7 @@ def run(C, h, nw, wblk, variants):
     for variant in variants:
         kernel = make_bwd(C=C, h=h, wblk=wblk, variant=variant)
         scratches = [pltpu.VMEM((wblk, WS, 3 * C), dtype)]
-        if variant == "wide":
+        if variant.startswith("wide"):
             scratches += [pltpu.VMEM((wblk, WS, C), jnp.float32) for _ in range(2)]
         bspec = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
         call = functools.partial(
@@ -278,6 +289,6 @@ def run(C, h, nw, wblk, variants):
 
 
 if __name__ == "__main__":
-    vs = ["full", "wide"]
+    vs = ["full", "wide", "wide_nosoft", "wide_nodot"]
     run(96, 3, 4096, 16, vs)    # stage 0 per-block (B=2)
     run(384, 12, 512, 8, vs)    # stage 2

@@ -12,6 +12,10 @@ the per-head dot sequence could pipeline the MXU better.  Variants:
            per-head AV from p slices
   hb_full  fully batched: batched QK + batched AV -> (wblk, h, ws, hd), then a
            (h, ws) transpose + reshape for the (wblk, ws, C) output write
+  hb_t     heads folded into the single window-batch dim via explicit transposes:
+           (wblk, ws, h, hd) -> (wblk*h, ws, hd), ONE single-batch-dim QK and AV
+           dot each, output transposed back (Mosaic rejects multi-batch-dim dots,
+           so this is the only expressible head-batched form)
 
 Cosine flavor (paper config).  Forward-only pallas_call per variant, timed by
 trace device time at the three fused-qkv stage shapes.
@@ -73,6 +77,34 @@ def _fwd_body_hb(qkv, mask, bias_ref, scale_ref, out_ref, *, C, h, full):
             out_ref[:, :, head * hd:(head + 1) * hd] = o.astype(out_ref.dtype)
 
 
+def _fwd_body_hb_t(qkv, mask, bias_ref, scale_ref, out_ref, *, C, h):
+    """Heads folded into the window-batch dim via explicit transposes."""
+    hd = C // h
+    wblk, ws = qkv.shape[0], qkv.shape[1]
+    scale_vec = scale_ref[...][:, 0]
+    q_hat, k_hat, _ = _cos_fold(qkv, C, h, scale_vec, qkv.dtype)
+
+    def fold(t):  # (wblk, ws, C) -> (wblk*h, ws, hd)
+        t4 = t.reshape(wblk, ws, h, hd)
+        return jnp.transpose(t4, (0, 2, 1, 3)).reshape(wblk * h, ws, hd)
+
+    qf = fold(q_hat)
+    kf = fold(k_hat)
+    vf = fold(qkv[:, :, 2 * C:])
+    s = jax.lax.dot_general(qf, kf, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (wblk*h, ws, ws)
+    s = s.reshape(wblk, h, ws, ws) + bias_ref[...][None]
+    if mask is not None:
+        s = s + mask[:, None]
+    s = s.reshape(wblk * h, ws, ws)
+    e = jnp.exp(s)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    o = jax.lax.dot_general(p.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (wblk*h, ws, hd)
+    o = jnp.transpose(o.reshape(wblk, h, ws, hd), (0, 2, 1, 3)).reshape(wblk, ws, C)
+    out_ref[...] = o.astype(out_ref.dtype)
+
+
 def _kernel(gcol_ref, grow_ref, x_ref, w_ref, bias_ref, scale_ref, out_ref, *,
             C, h, variant):
     qkv = jax.lax.dot_general(x_ref[...], w_ref[...], (((2,), (0,)), ((), ())),
@@ -81,6 +113,8 @@ def _kernel(gcol_ref, grow_ref, x_ref, w_ref, bias_ref, scale_ref, out_ref, *,
     if variant == "loop":
         _attn_fwd_body(qkv, mask, bias_ref, scale_ref, out_ref, C=C, h=h,
                        use_cos=True, has_bias=True, sm_scale=0.0)
+    elif variant == "hb_t":
+        _fwd_body_hb_t(qkv, mask, bias_ref, scale_ref, out_ref, C=C, h=h)
     else:
         _fwd_body_hb(qkv, mask, bias_ref, scale_ref, out_ref, C=C, h=h,
                      full=(variant == "hb_full"))
@@ -143,7 +177,7 @@ if __name__ == "__main__":
 
         row = {"stage": si, "T": T, "C": C, "h": h, "wblk": wblk}
         ref = None
-        for variant in ("loop", "hb_qk", "hb_full"):
+        for variant in ("loop", "hb_qk", "hb_full", "hb_t"):
             try:
                 fn = make_fwd(WS, C, h, wblk, variant)
                 out = np.asarray(fn(*ops), dtype=np.float32)

@@ -56,10 +56,19 @@ def evaluate(eval_config: EvaluateConfig, pl_config: PLConfig, config_path: str 
 
     import jax
 
+    # shape-only init through the datamodule's on-device transform (in
+    # project_on_device mode the loader yields flat uint8 images; the model input
+    # shape only exists after the fisheye->HEALPix projection)
+    transform = getattr(datamodule, "device_batch_transform", None)
     sample = next(iter(datamodule.val_dataloader()))
-    init_params = jax.eval_shape(
-        lambda: task.init_variables(jax.random.PRNGKey(0), sample[0][:1])
-    )
+
+    def _init_shape():
+        imgs = sample[0][:1]
+        if transform is not None:
+            imgs, _ = transform(imgs, jax.tree.map(lambda a: a[:1], sample[1]))
+        return task.init_variables(jax.random.PRNGKey(0), imgs)
+
+    init_params = jax.eval_shape(_init_shape)
     params, _, _ = ckpt_lib.load_checkpoint(ckpt_path, params_like=init_params)
 
     # metrics land in the original training run (reference evaluate.py:92-96)
@@ -103,11 +112,18 @@ def _log_masked_iou(trainer, task, datamodule, params, metric_prefix, run):
 
     from heal_swin_tpu.evaluation import seg_metrics_np as m
 
-    predict_fn = jax.jit(task.predict)
+    transform = getattr(datamodule, "device_batch_transform", None)
+
+    @jax.jit
+    def predict_fn(params, imgs, targets):
+        if transform is not None:
+            imgs, targets = transform(imgs, targets)
+        return task.predict(params, imgs), targets
+
     iou = m.IoU(num_classes=task.num_classes, reduction="none")
-    for imgs, masks in datamodule.val_dataloader():
-        preds = np.asarray(predict_fn(params, np.asarray(imgs)))
-        masks = np.asarray(masks)
+    for imgs, targets in datamodule.val_dataloader():
+        preds, masks = predict_fn(params, np.asarray(imgs), targets)
+        preds, masks = np.asarray(preds), np.asarray(masks)
         keep = masks != 0
         iou.update(preds[keep], masks[keep])
     ious = iou.compute()

@@ -15,10 +15,12 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -62,6 +64,24 @@ def _link_or_copy(src: Path, dst: Path):
         shutil.copy(src, dst)
 
 
+@jax.jit
+def _snapshot_jit(tree):
+    # jnp.copy inserts a real copy primitive, so the jaxpr is not an identity and
+    # the outputs are fresh buffers (jit of a pure identity would return the input
+    # arrays themselves, which the caller is about to donate).
+    return jax.tree.map(jnp.copy, tree)
+
+
+def _device_snapshot(tree):
+    """Device-side copy of a pytree (one jitted HBM->HBM pass, ~ms at paper scale)
+    so a background thread can fetch it to host while the caller keeps training —
+    the train step donates params/opt_state, so the original buffers are invalid
+    as soon as the next step is dispatched.  Pure-numpy trees pass through."""
+    if not any(isinstance(x, jax.Array) for x in jax.tree_util.tree_leaves(tree)):
+        return tree
+    return _snapshot_jit(tree)
+
+
 def load_checkpoint(path, params_like=None, opt_state_like=None):
     """Returns (params, opt_state, meta).  If *_like pytrees are given, restores into
     their structure (so jnp dtypes/shardings can be re-applied by the caller)."""
@@ -76,16 +96,40 @@ def load_checkpoint(path, params_like=None, opt_state_like=None):
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir, monitor: str, mode: str = "max", save_top_k: int = 3):
+    """Top-k + last checkpointing, with asynchronous saves by default.
+
+    ``save_epoch`` snapshots the state on DEVICE (one jitted HBM copy — the caller
+    is free to keep training into donated buffers immediately) and hands the fetch
+    + serialize + write to a background thread, overlapping the next epoch's
+    compute.  At most one save is in flight: a new save (or ``flush``/
+    ``finalize_best``/fit end) joins the previous one first, so top-k bookkeeping
+    stays single-threaded and ordered.  The thread is non-daemon — if the process
+    dies mid-epoch the pending write still completes (writes are tmp+rename
+    atomic either way)."""
+
+    def __init__(self, ckpt_dir, monitor: str, mode: str = "max", save_top_k: int = 3,
+                 async_save: bool = True):
         self.dir = Path(ckpt_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
+        self.async_save = async_save
         self.saved: List[tuple] = []  # (value, path)
+        self._pending: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
 
     def _is_better(self, a, b):
         return a > b if self.mode == "max" else a < b
+
+    def flush(self):
+        """Wait for the in-flight save (if any); re-raise its error."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
     def save_epoch(self, epoch: int, metrics: Dict[str, float], params, opt_state,
                    meta: Dict[str, Any]):
@@ -95,12 +139,30 @@ class CheckpointManager:
         hardlink to last.ckpt's bytes (at paper scale the state is ~400 MB — a second
         fetch+write per epoch dominated wall time on slow disks)."""
         meta = dict(meta, epoch=epoch, metrics=metrics)
+        if not self.async_save:
+            self._save_job(epoch, params, opt_state, meta)
+            return
+        self.flush()
+        params, opt_state = _device_snapshot((params, opt_state))
+        self._pending = threading.Thread(
+            target=self._save_job_guarded, args=(epoch, params, opt_state, meta),
+            name=f"ckpt-save-epoch-{epoch}", daemon=False,
+        )
+        self._pending.start()
+
+    def _save_job_guarded(self, epoch, params, opt_state, meta):
+        try:
+            self._save_job(epoch, params, opt_state, meta)
+        except BaseException as e:  # surfaced by the next flush()
+            self._error = e
+
+    def _save_job(self, epoch, params, opt_state, meta):
         last = self.dir / "last.ckpt"
         _write_bytes(last, serialize_checkpoint(params, opt_state, meta))
 
-        value = metrics.get(self.monitor)
+        value = meta["metrics"].get(self.monitor)
         if value is None:
-            return None
+            return
         fname = f"epoch={epoch}_{self.monitor}={value:.4f}.ckpt"
         if len(self.saved) < self.save_top_k or any(
             self._is_better(value, v) for v, _ in self.saved
@@ -112,11 +174,10 @@ class CheckpointManager:
             while len(self.saved) > self.save_top_k:
                 _, worst = self.saved.pop()
                 worst.unlink(missing_ok=True)
-            return path
-        return None
 
     def finalize_best(self) -> Optional[Path]:
         """Copy the best checkpoint to best.ckpt (reference train.py:231-235)."""
+        self.flush()
         if not self.saved:
             return None
         best = self.saved[0][1]

@@ -232,10 +232,16 @@ def test_project_on_device_matches_npz_pipeline(env):
 
 
 def test_project_on_device_train_e2e(env):
-    """Full training epoch with the on-device projection input pipeline."""
+    """Full training epoch + evaluation with the on-device projection input
+    pipeline (eval must derive the model input shape THROUGH the projection
+    transform — regression: the paper-scale TPU smoke's eval-after-train crashed
+    initializing from the raw flat-image batch)."""
     import dataclasses
 
+    from heal_swin_tpu.evaluate import evaluate
+    from heal_swin_tpu.evaluation.evaluate_config import EvaluateConfig
     from heal_swin_tpu.train import train_model
+    from heal_swin_tpu.training.train_config import PLConfig, TrainConfig
 
     run_config, pl_config = _hp_configs()
     run_config = dataclasses.replace(
@@ -248,3 +254,13 @@ def test_project_on_device_train_e2e(env):
     for m in ["train_loss", "val_iou_global", "val_acc"]:
         hist = run.get_metric_history(m)
         assert hist and all(np.isfinite(v) for _, v, _ in hist), m
+
+    eval_config = EvaluateConfig(
+        path=run_id, epoch="best", validate=True, predict=False, log_masked_iou=True,
+        train_config=TrainConfig(mlflow_expmt="ws_test"),
+        data_config=run_config.data,
+    )
+    evaluate(eval_config, PLConfig(limit_val_batches=1))
+    run = store.get_run(run_id)
+    assert run.get_metric_history("evaluate_best_val_iou_global")
+    assert run.get_metric_history("evaluate_best_val_masked_iou")
