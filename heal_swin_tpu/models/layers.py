@@ -444,12 +444,20 @@ class WindowAttention(nn.Module):
             q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
             if self.use_cos_attn:
-                q = q / jnp.maximum(
-                    jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
-                ).astype(q.dtype)
-                k = k / jnp.maximum(
-                    jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
-                ).astype(k.dtype)
+                # rsqrt(max(sum_sq, eps)) — NOT `x / max(norm(x), eps)`: norm()'s VJP
+                # divides by the norm itself, so an exactly-zero row (outside-FOV
+                # tokens are a zero fixed point of the encoder at init) turns the
+                # masked-out branch into 0 * (0/0) = NaN in the backward.  With the
+                # clamp inside the sum-of-squares the VJP is finite everywhere
+                # (same guard as the Pallas kernels, ops/window_attention.py:99).
+                qf = q.astype(jnp.float32)
+                kf = k.astype(jnp.float32)
+                q = (qf * jax.lax.rsqrt(
+                    jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24)
+                )).astype(q.dtype)
+                k = (kf * jax.lax.rsqrt(
+                    jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24)
+                )).astype(k.dtype)
                 attn = jnp.einsum(
                     "bwihd,bwjhd->bwhij", q, k, preferred_element_type=jnp.float32
                 )

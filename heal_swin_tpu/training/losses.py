@@ -43,12 +43,20 @@ def _masked_mean(values, mask):
     return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(cnt, 1)
 
 
+def _masked_diff(means, target, mask):
+    """means - target with the mask applied INSIDE the subtraction: masked
+    positions contribute an exact 0 to both the value and the VJP, so inf
+    targets (and any non-finite prediction at a masked position) cannot leak
+    NaN into the backward through the 0 * inf cotangent product."""
+    return jnp.where(mask, means - jnp.where(mask, target, 0.0), 0.0)
+
+
 def mse(preds, target, mask_background: bool = False):
     """Reference depth 'l2' loss: mean of squared diff / 2 over finite targets.
     preds: (B, N, f_out) channels-last; channel 0 holds the mean prediction."""
     means = preds[..., 0]
     mask = ~jnp.isinf(target)
-    return _masked_mean(jnp.square(means - jnp.where(mask, target, 0.0)) / 2.0, mask)
+    return _masked_mean(jnp.square(_masked_diff(means, target, mask)) / 2.0, mask)
 
 
 def mean_log_var_loss(preds, target, mask_background: bool = False):
@@ -56,23 +64,22 @@ def mean_log_var_loss(preds, target, mask_background: bool = False):
     means = preds[..., 0]
     log_var = preds[..., 1]
     mask = ~jnp.isinf(target)
-    t = jnp.where(mask, target, 0.0)
     lv = jnp.where(mask, log_var, 0.0)
-    vals = 0.5 * lv + jnp.square(means - t) * (0.5 * jnp.exp(-lv))
+    vals = 0.5 * lv + jnp.square(_masked_diff(means, target, mask)) * (0.5 * jnp.exp(-lv))
     return _masked_mean(vals, mask)
 
 
 def l1_loss(preds, target, mask_background: bool = False):
     means = preds[..., 0]
     mask = ~jnp.isinf(target)
-    return _masked_mean(jnp.abs(means - jnp.where(mask, target, 0.0)), mask)
+    return _masked_mean(jnp.abs(_masked_diff(means, target, mask)), mask)
 
 
 def huber_loss(preds, target, mask_background: bool = False, delta: float = 1.0):
     """torch SmoothL1Loss(beta=delta): 0.5*d^2/beta if |d|<beta else |d|-0.5*beta."""
     means = preds[..., 0]
     mask = ~jnp.isinf(target)
-    d = jnp.abs(means - jnp.where(mask, target, 0.0))
+    d = jnp.abs(_masked_diff(means, target, mask))
     vals = jnp.where(d < delta, 0.5 * d * d / delta, d - 0.5 * delta)
     return _masked_mean(vals, mask)
 

@@ -177,3 +177,66 @@ def test_fused_qkv_epilogue_matches_oracle(has_ln):
         scale = float(jnp.max(jnp.abs(a))) + 1e-12
         np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
                                    atol=5e-6, err_msg=name)
+
+
+def test_zero_token_gradients_finite():
+    """Outside-FOV pixels project to exactly-zero inputs, and zero tokens are a
+    fixed point of the encoder at init (zero biases, zero LN bias, zeros-init
+    rel-pos table) — so cosine attention sees exactly-zero q/k rows.  The XLA
+    path's q/k normalization backward must stay finite there: `x / max(norm(x),
+    eps)` NaNs (norm's VJP divides by the norm); regression for the depth-smoke
+    step-2 NaN (2026-08-18)."""
+    from heal_swin_tpu.data.data_spec import DataSpec
+    from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig, SwinHPTransformerSys
+    from heal_swin_tpu.training.losses import mse
+
+    cfg = SwinHPTransformerConfig(
+        patch_size=4, window_size=16, shift_size=8, shift_strategy="ring_shift",
+        rel_pos_bias="flat", embed_dim=8, depths=[2, 1], num_heads=[2, 2],
+        use_cos_attn=True, use_v2_norm_placement=True, attention_impl="xla",
+    )
+    spec = DataSpec(dim_in=8 * 16 * 16, f_in=3, f_out=1, base_pix=8)
+    model = SwinHPTransformerSys(cfg, spec)
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.normal(size=(1, spec.dim_in, 3))).astype(np.float32)
+    x[:, : spec.dim_in // 2] = 0.0  # a large exactly-zero (outside-FOV) region
+    x = jnp.asarray(x)
+    # targets: masked (inf) exactly over the zero region, like the depth pipeline
+    t = np.abs(rng.normal(size=(1, spec.dim_in))).astype(np.float32)
+    t[:, : spec.dim_in // 2] = np.inf
+    t = jnp.asarray(t)
+    params = jax.jit(model.init, static_argnums=2)(jax.random.PRNGKey(0), x, True)
+
+    def loss_fn(p):
+        out = model.apply(p, x, True)
+        return mse(out, t)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    bad = [
+        "/".join(str(k) for k in path)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]
+        if not bool(np.isfinite(np.asarray(leaf)).all())
+    ]
+    assert not bad, f"non-finite grads at: {bad[:10]}"
+
+
+def test_masked_depth_loss_gradients_isolate_masked_positions():
+    """Depth losses must not let masked (inf-target) positions leak into the
+    backward even when the prediction there is non-finite (the 0 * inf = NaN
+    where-trap)."""
+    from heal_swin_tpu.training import losses
+
+    t = jnp.asarray([[1.0, jnp.inf, 2.0, jnp.inf]])
+    preds = jnp.asarray([[[0.5], [jnp.nan], [1.5], [jnp.inf]]])
+
+    for name in ["mse", "l1_loss"]:
+        fn = getattr(losses, name)
+        val, g = jax.value_and_grad(lambda p: fn(p, t))(preds)
+        assert np.isfinite(float(val)), name
+        assert np.isfinite(np.asarray(g)).all(), name
+    val, g = jax.value_and_grad(lambda p: losses.huber_loss(p, t, delta=1.0))(preds)
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(g)).all()
+    preds2 = jnp.concatenate([preds, jnp.zeros_like(preds)], axis=-1)
+    val, g = jax.value_and_grad(lambda p: losses.mean_log_var_loss(p, t))(preds2)
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(g)).all()
