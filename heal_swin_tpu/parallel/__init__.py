@@ -5,6 +5,15 @@ The framework is data-parallel: one 1-D ``jax.sharding.Mesh`` over the ``data``
 axis, parameters/optimizer state replicated, batches sharded on axis 0.  XLA
 inserts the gradient all-reduce over ICI from the sharding annotations alone —
 there is no explicit collective code anywhere in the training loop.
+
+Multi-host (DCN) data parallelism: ``maybe_initialize_distributed`` replaces the
+reference's MASTER_ADDR/MASTER_PORT DDP rendezvous (reference run.py:38-41,
+PLConfig.num_nodes train_config.py:68).  The mesh then spans all global devices;
+each process loads the full (deterministically shuffled) global batch and ships
+only its slice (``local_batch_rows`` + ``jax.make_array_from_process_local_data``
+in the trainer), gradients all-reduce over ICI within a host and DCN across
+hosts, and rank 0 owns tracking/checkpoints.  Tested without a cluster by
+spawning coordinator-connected CPU processes (tests/test_multihost.py).
 """
 
 from __future__ import annotations
@@ -37,3 +46,63 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharded(mesh: Mesh) -> NamedSharding:
     """Sharding for batches: axis 0 split across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def maybe_initialize_distributed(num_nodes: Optional[int] = 1) -> None:
+    """Initialize ``jax.distributed`` for multi-host runs; no-op otherwise.
+
+    The TPU replacement for the reference's DDP rendezvous (MASTER_ADDR /
+    MASTER_PORT passthrough, reference run.py:38-41).  Activation: either
+    ``num_nodes > 1`` in the PLConfig (auto-detection on TPU pods / cloud), or
+    explicit ``JAX_COORDINATOR_ADDRESS`` (+ ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``) env vars — the form used for CPU-hosted multi-process
+    tests.  Safe to call twice."""
+    import os
+
+    import jax
+
+    if getattr(maybe_initialize_distributed, "_done", False):
+        return
+    env = os.environ
+    explicit = "JAX_COORDINATOR_ADDRESS" in env
+    if not explicit and not (num_nodes and num_nodes > 1):
+        return
+    kwargs = {}
+    if explicit:
+        kwargs = dict(
+            coordinator_address=env["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(env.get("JAX_NUM_PROCESSES", num_nodes or 2)),
+            process_id=int(env["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
+    maybe_initialize_distributed._done = True
+
+
+def put_replicated(tree, sharding: NamedSharding):
+    """Place a host pytree replicated on every device of the mesh.
+
+    Single-process: plain ``device_put``.  Multi-host: ``device_put`` cannot
+    target non-addressable devices, so each process contributes its local copy
+    via ``make_array_from_callback`` (all processes must pass identical values —
+    guaranteed here by deterministic seeding)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        x = np.asarray(x)
+        s = NamedSharding(sharding.mesh, P())  # replicated regardless of input rank
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def local_batch_rows(n_rows: int) -> slice:
+    """This process's row slice of a global batch (axis 0, mesh device order is
+    ``jax.devices()`` = process-major, so each process owns a contiguous run)."""
+    import jax
+
+    k = n_rows // jax.process_count()
+    p = jax.process_index()
+    return slice(p * k, (p + 1) * k)

@@ -70,22 +70,36 @@ def train_model(
     run_config = apply_precision(run_config, pl_config)
     train_config = run_config.train
 
+    # multi-host rendezvous (replaces the reference's MASTER_ADDR/MASTER_PORT DDP
+    # setup, run.py:38-41); no-op for single-host runs
+    from heal_swin_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(pl_config.num_nodes)
+    import jax
+
+    is_global_zero = jax.process_index() == 0
+
     if train_config.seed is not None:
         np.random.seed(train_config.seed)
 
     dm, data_spec = get_data_module(run_config.data)
 
-    store = store or MlflowFileStore(utils.get_mlruns_path())
-    run = store.create_run(train_config.mlflow_expmt, run_name=train_config.job_id)
-    print(f"This run has id {run.run_id}")
+    # rank 0 owns tracking + checkpoints (reference MLFlowLogging deactivates on
+    # non-zero ranks, logging_callbacks.py:134)
+    run = None
+    if is_global_zero:
+        store = store or MlflowFileStore(utils.get_mlruns_path())
+        run = store.create_run(train_config.mlflow_expmt, run_name=train_config.job_id)
+        print(f"This run has id {run.run_id}")
 
     task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
     task = task_cls(run_config.model, data_spec, run_config.data)
 
-    ckpt_dir = run.artifact_dir / "checkpoints"
+    ckpt_dir = run.artifact_dir / "checkpoints" if run is not None else None
     trainer = Trainer(pl_config, train_config, run=run, ckpt_dir=ckpt_dir)
 
-    save_config(run.artifact_dir, run_config, pl_config, task, data_spec, config_path)
+    if run is not None:
+        save_config(run.artifact_dir, run_config, pl_config, task, data_spec, config_path)
 
     if pl_config.auto_lr_find:
         # LR range test before the real fit (reference train.py:204-217 via the
@@ -97,7 +111,8 @@ def train_model(
             task.optimizer_config = dataclasses.replace(
                 task.optimizer_config, learning_rate=suggestion
             )
-            run.log_param("auto_lr_find.lr", suggestion)
+            if run is not None:
+                run.log_param("auto_lr_find.lr", suggestion)
             print(f"auto_lr_find suggested lr={suggestion:.3e}")
             try:
                 import matplotlib
@@ -112,7 +127,9 @@ def train_model(
                 ax.set_xlabel("learning rate")
                 ax.set_ylabel("smoothed loss")
                 ax.legend()
-                fig.savefig(run.artifact_dir / "lr_find_plot.png", bbox_inches="tight")
+                if run is not None:
+                    fig.savefig(run.artifact_dir / "lr_find_plot.png",
+                                bbox_inches="tight")
                 plt.close(fig)
             except Exception:
                 pass  # plotting is best-effort (headless images without matplotlib)
@@ -134,28 +151,33 @@ def train_model(
         params["model_flops"] = model_flops(run_config.model, data_spec)["total"]
     except Exception:
         pass  # analytic counter only supports the two SWIN families
-    run.log_params(params)
-    run.set_tag("cmd", " ".join(sys.argv))
-    if train_config.description:
-        run.set_tag("mlflow.note.content", train_config.description)
+    if run is not None:
+        run.log_params(params)
+        run.set_tag("cmd", " ".join(sys.argv))
+        if train_config.description:
+            run.set_tag("mlflow.note.content", train_config.description)
 
     try:
         result = trainer.fit(task, dm)
         # total parameter count (reference logging_callbacks.py:47-59)
         import jax
 
-        n_params = sum(int(p.size) for p in jax.tree.leaves(trainer._params))
-        run.log_param("total_params", n_params)
-        # per-top-level-module decomposition (reference logging_callbacks.py:47-59)
-        tree = trainer._params.get("params", trainer._params)
-        if isinstance(tree, dict):
-            for mod, sub in tree.items():
-                run.log_param(
-                    f"total_params.{mod}",
-                    sum(int(p.size) for p in jax.tree.leaves(sub)),
-                )
+        if run is not None:
+            n_params = sum(int(p.size) for p in jax.tree.leaves(trainer._params))
+            run.log_param("total_params", n_params)
+            # per-top-level-module decomposition (reference logging_callbacks.py:47-59)
+            tree = trainer._params.get("params", trainer._params)
+            if isinstance(tree, dict):
+                for mod, sub in tree.items():
+                    run.log_param(
+                        f"total_params.{mod}",
+                        sum(int(p.size) for p in jax.tree.leaves(sub)),
+                    )
 
-        if train_config.eval_after_train and not pl_config.fast_dev_run:
+        if (train_config.eval_after_train and not pl_config.fast_dev_run
+                and run is not None and trainer.n_processes == 1):
+            # (multi-host runs skip in-process eval: writers are single-host —
+            # run `run.py evaluate` on one host afterwards)
             # run the full evaluation with a default EvaluateConfig, like the
             # reference (train.py:250-269); metrics land in this run with the
             # evaluate_best_ prefix
@@ -170,10 +192,12 @@ def train_model(
             )
             run_evaluate(eval_config, pl_config)
 
-        run.set_status("FINISHED")
-        return run.run_id, result
+        if run is not None:
+            run.set_status("FINISHED")
+        return (run.run_id if run is not None else None), result
     except BaseException:
-        run.set_status("KILLED")
+        if run is not None:
+            run.set_status("KILLED")
         traceback.print_exc()
         raise
 

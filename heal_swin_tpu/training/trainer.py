@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from heal_swin_tpu.parallel import batch_sharded, make_data_mesh, replicated
+from heal_swin_tpu.parallel import (batch_sharded, local_batch_rows, make_data_mesh,
+                                    put_replicated, replicated)
 from heal_swin_tpu.training import checkpoint as ckpt_lib
 from heal_swin_tpu.training.optimizer import (
     get_learning_rate,
@@ -75,6 +76,8 @@ class Trainer:
         self.n_devices = len(self.devices)
         self.repl = replicated(self.mesh)
         self.batch_sharding = batch_sharded(self.mesh)
+        self.n_processes = jax.process_count()
+        self.is_global_zero = jax.process_index() == 0
 
         self.ckpt_manager = None
         if ckpt_dir is not None and pl_config.checkpoint_callback and not pl_config.fast_dev_run:
@@ -112,6 +115,16 @@ class Trainer:
         # np.asarray (NOT jnp.asarray): jnp would first ship the array to the
         # default device unsharded — a second full copy over the (slow) host
         # link before the sharded placement
+        if self.n_processes > 1:
+            # multi-host: every process iterates the same deterministically
+            # shuffled global batch and ships only its rows; the device order of
+            # the 1-D mesh is process-major, so the local rows are contiguous
+            def put(a):
+                a = np.asarray(a)
+                local = a[local_batch_rows(a.shape[0])]
+                return jax.make_array_from_process_local_data(self.batch_sharding, local)
+
+            return jax.tree.map(put, arrays)
         return jax.tree.map(
             lambda a: jax.device_put(np.asarray(a), self.batch_sharding), arrays
         )
@@ -213,11 +226,14 @@ class Trainer:
         params = jax.jit(task.init_variables)(init_rng, init_imgs)
         tx = make_optimizer(task.optimizer_config, gradient_clip_val=self.pl.gradient_clip_val)
         opt_state = jax.jit(tx.init)(params)
-        params = jax.device_put(params, self.repl)
-        opt_state = jax.device_put(opt_state, self.repl)
+        params = put_replicated(params, self.repl)
+        opt_state = put_replicated(opt_state, self.repl)
+
+        rng_host = np.asarray(rng)  # constant inside the jit (multi-host safe)
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, imgs, targets, step_rng):
+        def step(params, opt_state, imgs, targets, step_idx):
+            step_rng = jax.random.fold_in(rng_host, step_idx)
             if transform is not None:
                 imgs, targets = transform(imgs, targets)
 
@@ -243,7 +259,7 @@ class Trainer:
                 opt_state = set_learning_rate(opt_state, lr)
                 imgs_d, targets_d = self._put_batch((imgs, targets))
                 params, opt_state, loss = step(
-                    params, opt_state, imgs_d, targets_d, jax.random.fold_in(rng, i)
+                    params, opt_state, imgs_d, targets_d, np.int32(i)
                 )
                 loss_val = float(loss)
                 i += 1
@@ -329,18 +345,24 @@ class Trainer:
         if resume_state:
             params = resume_state.get("params", params)
 
-        params = jax.device_put(params, self.repl)
-        opt_state = jax.device_put(opt_state, self.repl)
+        params = put_replicated(params, self.repl)
+        opt_state = put_replicated(opt_state, self.repl)
 
         # jitted steps (rebuilt when the task switches its loss, e.g.
-        # train_uncertainty_after)
+        # train_uncertainty_after).  The per-step rng is folded INSIDE the jit
+        # from a constant host key + the step index operand: no per-step host
+        # dispatch, and no committed single-device key to clash with the global
+        # mesh on multi-host runs.
+        rng_host = np.asarray(rng)
+
         def build_train_step():
             @partial(
                 jax.jit,
                 donate_argnums=(0, 1, 2, 3),
                 out_shardings=(self.repl, self.repl, self.repl, self.repl, self.repl),
             )
-            def train_step(params, opt_state, mstate, loss_acc, imgs, targets, step_rng):
+            def train_step(params, opt_state, mstate, loss_acc, imgs, targets, step_idx):
+                step_rng = jax.random.fold_in(rng_host, step_idx)
                 if transform is not None:
                     imgs, targets = transform(imgs, targets)
 
@@ -388,8 +410,8 @@ class Trainer:
             if pl.fast_dev_run:
                 n_train_batches = 1
 
-            mstate = jax.device_put(jax.jit(task.metric_init)(), self.repl)
-            loss_acc = jax.device_put(jnp.zeros((), jnp.float32), self.repl)
+            mstate = put_replicated(jax.device_get(jax.jit(task.metric_init)()), self.repl)
+            loss_acc = put_replicated(np.zeros((), np.float32), self.repl)
             n_steps_epoch = 0
             t0 = time.time()
             samples_seen = 0
@@ -399,9 +421,9 @@ class Trainer:
                     yield (imgs, targets), imgs.shape[0]
 
             for (imgs_d, targets_d), bsz in self._device_prefetch(staged_train_batches()):
-                step_rng = jax.random.fold_in(rng, self.global_step)
                 params, opt_state, mstate, loss_acc, loss = train_step(
-                    params, opt_state, mstate, loss_acc, imgs_d, targets_d, step_rng
+                    params, opt_state, mstate, loss_acc, imgs_d, targets_d,
+                    np.int32(self.global_step)
                 )
                 self.global_step += 1
                 n_steps_epoch += 1
@@ -542,7 +564,7 @@ class Trainer:
         if max_batches is not None:
             n = min(n, max_batches)
 
-        mstate = jax.device_put(jax.jit(task.metric_init)(), self.repl)
+        mstate = put_replicated(jax.device_get(jax.jit(task.metric_init)()), self.repl)
         loss_sum, count = 0.0, 0.0
         eval_step = self._get_eval_step(
             task, getattr(datamodule, "device_batch_transform", None)
@@ -574,6 +596,13 @@ class Trainer:
     def predict(self, task, datamodule, params, writer=None):
         """Iterate the predict loader; feed predictions to the writer
         (reference trainer.predict + BasePredictionWriter protocol)."""
+        if self.n_processes > 1:
+            # prediction writers are host-side, per-sample consumers; run them on a
+            # single host (the reference forces single-device evaluation for the
+            # same reason, evaluate.py:98-105)
+            raise NotImplementedError(
+                "trainer.predict is single-host; run run.py evaluate on one host"
+            )
         loader = datamodule.predict_dataloader()
         n = _limit(len(loader), self.pl.limit_predict_batches)
 
