@@ -74,8 +74,12 @@ def _ln_bwd(eps, res, dy):
     xhat = (xf - mean) * rstd
     dyf = dy.astype(jnp.float32)
     red_axes = tuple(range(dy.ndim - 1))
-    dscale = jnp.sum(dyf * xhat, axis=red_axes)
-    dbias = jnp.sum(dyf, axis=red_axes)
+    # param cotangents reduce over tokens; under shard_map (sequence/data sharding)
+    # that reduction must also cross devices — see parallel/sequence.py match_vma
+    from heal_swin_tpu.parallel.sequence import match_vma
+
+    dscale = match_vma(jnp.sum(dyf * xhat, axis=red_axes), scale)
+    dbias = match_vma(jnp.sum(dyf, axis=red_axes), scale)
     dg = dyf * scale
     dx = rstd * (
         dg

@@ -304,7 +304,11 @@ class SwinTransformerSys(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, seq=None):
+        assert seq is None, (
+            "sequence parallelism targets the HP model's 1-D nested token axis "
+            "(parallel/sequence.py); the flat baseline is data-parallel only"
+        )
         cfg = self.config.normalized()
         self._check_divisibility(cfg)
         spec = self.data_spec

@@ -16,8 +16,9 @@ Inputs: (B, npix, f_in) channels-last.  Output: (B, npix, f_out).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
-from typing import Any, List, Optional
+from typing import Any, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -87,6 +88,17 @@ class SwinHPTransformerConfig:
         return {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
 
 
+@functools.lru_cache(maxsize=None)
+def _roll_perms(n: int, r: int):
+    """The forward shift ``roll(x, -r)`` and its reverse as gather permutations
+    (``y[i] = x[perm[i]]``) — the form the sequence-parallel shift path uses
+    (parallel/sequence.py; a roll crosses shard boundaries like any permutation)."""
+    idx = np.arange(n, dtype=np.int32)
+    fwd = (idx + r) % n  # roll(x, -r)[i] = x[(i + r) % n]
+    bwd = (idx - r) % n
+    return fwd, bwd
+
+
 def _rel_pos_index_nested(window_size: int) -> np.ndarray:
     """(ws, ws) relative-position table index in nested token order.
 
@@ -130,10 +142,16 @@ class SwinHPBlock(nn.Module):
     attention_impl: str = "auto"
     gelu_approx: bool = False
     dtype: Optional[Dtype] = None
+    # sequence parallelism (parallel/sequence.py): tokens sharded over mesh axis
+    # ``seq_axis`` in ``seq_shards`` pieces; x is then this shard's (B, N/shards, C)
+    seq_axis: Optional[str] = None
+    seq_shards: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        B, N, C = x.shape
+        B, Nl, C = x.shape
+        sp = self.seq_shards if self.seq_axis is not None else 1
+        N = Nl * sp  # global token count; shift/window geometry is global
         ws = self.window_size
         shift = self.shift_size
         if N <= ws:  # no partitioning when window covers the whole sequence
@@ -141,19 +159,50 @@ class SwinHPBlock(nn.Module):
             shift = 0
 
         spec = get_shift_spec(self.shift_strategy, N, self.base_pix, ws, shift)
+        if sp > 1:
+            assert Nl % ws == 0 and (N // ws) % sp == 0, (
+                f"sequence shards must hold whole windows: {N} tokens / {sp} shards "
+                f"= {Nl} per shard, window {ws}"
+            )
 
         shortcut = x
         if not self.use_v2_norm_placement:
             x = LayerNorm(dtype=self.dtype, name="norm1")(x)
 
-        # shift (roll or precomputed permutation gather with inverse-gather VJP)
+        # shift (roll or precomputed permutation gather with inverse-gather VJP);
+        # under sequence parallelism every shift is a permutation routed through the
+        # sharded all-gather + local-gather primitive — the model's ONLY cross-shard
+        # communication (parallel/sequence.py)
+        if sp > 1:
+            from heal_swin_tpu.parallel.sequence import (
+                seq_local_slice,
+                sharded_permute_tokens,
+            )
+
+            sp_perm = functools.partial(
+                sharded_permute_tokens, axis_name=self.seq_axis, n_shards=sp
+            )
         if spec.kind == "roll":
-            x = jnp.roll(x, -spec.roll_amount, axis=1)
+            if sp > 1:
+                fwd, bwd = _roll_perms(N, spec.roll_amount)
+                x = sp_perm(x, jnp.asarray(fwd), jnp.asarray(bwd))
+            else:
+                x = jnp.roll(x, -spec.roll_amount, axis=1)
         elif spec.kind == "perm":
-            x = permute_tokens(x, jnp.asarray(spec.perm), jnp.asarray(spec.inv_perm))
+            if sp > 1:
+                x = sp_perm(x, jnp.asarray(spec.perm), jnp.asarray(spec.inv_perm))
+            else:
+                x = permute_tokens(x, jnp.asarray(spec.perm), jnp.asarray(spec.inv_perm))
 
         # windows as a tensor dim: (B, nW, ws, C) — pure reshape in nested order
-        x = x.reshape(B, N // ws, ws, C)
+        x = x.reshape(B, Nl // ws, ws, C)
+
+        win_groups = spec.win_groups
+        if sp > 1 and win_groups is not None:
+            # this shard's rows of the global (nW, ws) mask-group table
+            win_groups = seq_local_slice(
+                np.asarray(win_groups), self.seq_axis, sp, axis=0
+            )
 
         rel_idx = _rel_pos_index_nested(ws) if self.rel_pos_bias == "flat" else None
         side = int(round(np.sqrt(ws)))
@@ -174,15 +223,22 @@ class SwinHPBlock(nn.Module):
             attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
-        )(x, win_groups=spec.win_groups, deterministic=deterministic, ln_params=ln1)
+        )(x, win_groups=win_groups, deterministic=deterministic, ln_params=ln1)
 
-        x = x.reshape(B, N, C)
+        x = x.reshape(B, Nl, C)
 
         # reverse shift
         if spec.kind == "roll":
-            x = jnp.roll(x, spec.roll_amount, axis=1)
+            if sp > 1:
+                fwd, bwd = _roll_perms(N, spec.roll_amount)
+                x = sp_perm(x, jnp.asarray(bwd), jnp.asarray(fwd))
+            else:
+                x = jnp.roll(x, spec.roll_amount, axis=1)
         elif spec.kind == "perm":
-            x = permute_tokens(x, jnp.asarray(spec.inv_perm), jnp.asarray(spec.perm))
+            if sp > 1:
+                x = sp_perm(x, jnp.asarray(spec.inv_perm), jnp.asarray(spec.perm))
+            else:
+                x = permute_tokens(x, jnp.asarray(spec.inv_perm), jnp.asarray(spec.perm))
 
         mlp = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
@@ -285,7 +341,7 @@ class PatchEmbed(nn.Module):
 
 
 def _make_block(cfg: SwinHPTransformerConfig, base_pix, dim, input_resolution, num_heads,
-                shift_size, drop_path, name):
+                shift_size, drop_path, name, seq=None):
     block_cls = nn.remat(SwinHPBlock, static_argnums=(2,)) if cfg.use_checkpoint else SwinHPBlock
     return block_cls(
         dim=dim,
@@ -307,6 +363,8 @@ def _make_block(cfg: SwinHPTransformerConfig, base_pix, dim, input_resolution, n
         attention_impl=cfg.attention_impl,
         gelu_approx=cfg.gelu_approx,
         dtype=cfg.compute_dtype,
+        seq_axis=seq[0] if seq else None,
+        seq_shards=seq[1] if seq else 1,
         name=name,
     )
 
@@ -323,6 +381,7 @@ class BasicLayer(nn.Module):
     num_heads: int
     drop_path: List[float]
     downsample: bool
+    seq: Optional[Tuple[str, int]] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -331,6 +390,7 @@ class BasicLayer(nn.Module):
             blk = _make_block(
                 cfg, self.base_pix, self.dim, self.input_resolution, self.num_heads,
                 0 if i % 2 == 0 else cfg.shift_size, self.drop_path[i], name=f"block{i}",
+                seq=self.seq,
             )
             x = blk(x, deterministic)
         if self.downsample:
@@ -350,6 +410,7 @@ class BasicLayerUp(nn.Module):
     num_heads: int
     drop_path: List[float]
     upsample: bool
+    seq: Optional[Tuple[str, int]] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -358,6 +419,7 @@ class BasicLayerUp(nn.Module):
             blk = _make_block(
                 cfg, self.base_pix, self.dim, self.input_resolution, self.num_heads,
                 0 if i % 2 == 0 else cfg.shift_size, self.drop_path[i], name=f"block{i}",
+                seq=self.seq,
             )
             x = blk(x, deterministic)
         if self.upsample:
@@ -372,6 +434,7 @@ class UnetDecoder(nn.Module):
     config: SwinHPTransformerConfig
     data_spec: DataSpec
     dpr: List[float]
+    seq: Optional[Tuple[str, int]] = None
 
     @nn.compact
     def __call__(self, x, x_downsample, deterministic: bool = True, tail: bool = True):
@@ -402,6 +465,7 @@ class UnetDecoder(nn.Module):
                         sum(cfg.depths[:down_idx]) : sum(cfg.depths[: down_idx + 1])
                     ],
                     upsample=down_idx > 0,
+                    seq=self.seq,
                     name=f"layer_up{inx}",
                 )(x, deterministic)
 
@@ -423,13 +487,24 @@ class SwinHPTransformerSys(nn.Module):
     data_spec: DataSpec
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, tail: bool = True):
+    def __call__(self, x, deterministic: bool = True, tail: bool = True, seq=None):
+        """``seq``: optional ``(axis_name, n_shards)`` sequence-parallel spec — x is
+        then this shard's (B, npix/n_shards, f_in) token slice and the call must run
+        inside ``jax.shard_map`` with that mesh axis in scope (parallel/sequence.py);
+        the output is the matching (B, npix/n_shards, f_out) slice."""
         cfg = self.config
         spec = self.data_spec
         num_layers = len(cfg.depths)
         num_features = int(cfg.embed_dim * 2 ** (num_layers - 1))
         num_patches = spec.dim_in // cfg.patch_size
         dt = cfg.compute_dtype
+        if seq is not None and seq[1] <= 1:
+            seq = None
+        if seq is not None:
+            assert x.shape[1] * seq[1] == spec.dim_in, (
+                f"seq-parallel input must be the local token slice: got {x.shape[1]} "
+                f"pixels x {seq[1]} shards != dim_in {spec.dim_in}"
+            )
 
         x = x.astype(dt)
         x = PatchEmbed(
@@ -447,6 +522,10 @@ class SwinHPTransformerSys(nn.Module):
                 "absolute_pos_embed", trunc_normal_init, (1, num_patches, cfg.embed_dim),
                 jnp.float32,
             )
+            if seq is not None:
+                from heal_swin_tpu.parallel.sequence import seq_local_slice
+
+                ape = seq_local_slice(ape, seq[0], seq[1], axis=1)
             x = x + ape.astype(dt)
         x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
@@ -464,6 +543,7 @@ class SwinHPTransformerSys(nn.Module):
                 num_heads=cfg.num_heads[i_layer],
                 drop_path=dpr[sum(cfg.depths[:i_layer]) : sum(cfg.depths[: i_layer + 1])],
                 downsample=i_layer < num_layers - 1,
+                seq=seq,
                 name=f"layer{i_layer}",
             )(x, deterministic)
             if cfg.dev_mode:
@@ -472,7 +552,7 @@ class SwinHPTransformerSys(nn.Module):
         x = LayerNorm(dtype=dt, name="norm")(x)
         if cfg.dev_mode:
             print(f"forward_features after norm: {x.shape}")
-        x = UnetDecoder(config=cfg, data_spec=spec, dpr=dpr, name="decoder")(
+        x = UnetDecoder(config=cfg, data_spec=spec, dpr=dpr, seq=seq, name="decoder")(
             x, x_downsample, deterministic, tail
         )
         if not tail:

@@ -105,12 +105,25 @@ class _SegmenterBase:
 
         return os.environ.get("HEAL_SWIN_FH_INTERPRET") == "1"
 
-    def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None):
+    def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None,
+                axis_names=None, seq=None):
         """Returns (loss, outputs): outputs are the (B, npix, f_out) logits, or the
         (F, F) step confusion matrix on the fused train path (metric_update handles
-        both)."""
+        both).
+
+        ``axis_names``/``seq``: sharded execution inside ``shard_map``
+        (parallel/sequence.py): inputs are device-local shards, ``seq`` is the model's
+        (axis_name, n_shards) token sharding, and the loss psums its weighted
+        numerator/denominator over ``axis_names`` so it is the exact global mean.
+        The fused decoder-tail kernel path is bypassed under ``seq`` (its kernel
+        emits a whole-sample confusion matrix; the plain tail + psum'd metric
+        increments cover the sharded case)."""
         rngs = {"dropout": rng} if rng is not None else None
-        if self._fused_tail_ok(sample_mask):
+        # the fused tail stays off under ANY shard_map step (axis_names set): its
+        # kernel normalizes the CE by the SHARD-local weight sum and its
+        # pallas_call is built without per-call vma stamping; the plain tail +
+        # psum'd loss/metrics covers sharded execution exactly
+        if axis_names is None and self._fused_tail_ok(sample_mask):
             from heal_swin_tpu.ops import final_head as fh
 
             cfg = self.config.swin_hp_transformer_config
@@ -131,9 +144,10 @@ class _SegmenterBase:
                 y, welem, patch_size=p, interpret=self._fh_interpret(),
             )
             return loss, cm
-        logits = self.model.apply(params, imgs, deterministic, rngs=rngs)
+        logits = self.model.apply(params, imgs, deterministic, rngs=rngs, seq=seq)
         loss = weighted_cross_entropy(
-            logits, targets, jnp.asarray(self.class_weights), sample_mask=sample_mask
+            logits, targets, jnp.asarray(self.class_weights), sample_mask=sample_mask,
+            axis_names=axis_names,
         )
         return loss, logits
 
@@ -257,17 +271,22 @@ class _DepthBase:
     def init_variables(self, rng, imgs):
         return self.model.init(rng, jnp.asarray(imgs), True)
 
-    def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None):
+    def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None,
+                axis_names=None, seq=None):
         """targets come from the dataloader already in network (transformed+normalized)
         space with non-finite background markers, exactly as in the reference
-        (model_lightning_depth_swin_hp.py:132-143); the loss runs in that space."""
+        (model_lightning_depth_swin_hp.py:132-143); the loss runs in that space.
+        ``axis_names``/``seq``: sharded execution — see _SegmenterBase.loss_fn."""
         rngs = {"dropout": rng} if rng is not None else None
-        out = self.model.apply(params, imgs, deterministic, rngs=rngs)
+        out = self.model.apply(params, imgs, deterministic, rngs=rngs, seq=seq)
         t = targets
         if sample_mask is not None:
             m = jnp.reshape(sample_mask, sample_mask.shape + (1,) * (t.ndim - sample_mask.ndim))
             t = jnp.where(m, t, jnp.inf)  # inf targets are excluded from depth losses
-        loss = self.loss_impl(out, t, mask_background=getattr(self.dc, "mask_background", False))
+        loss = self.loss_impl(
+            out, t, mask_background=getattr(self.dc, "mask_background", False),
+            axis_names=axis_names,
+        )
         return loss, out
 
     def predict(self, params, imgs):

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from heal_swin_tpu.ops.vma_util import with_vma
+
 _SQRT_2_OVER_PI = 0.7978845608028654
 _TANH_C = 0.044715
 _INV_SQRT2 = 0.7071067811865476
@@ -142,13 +144,13 @@ def _make_pallas_bwd(C: int, H: int, approximate: bool, rblk: int, dtype_name: s
                 pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_shape=[
+            out_shape=with_vma([
                 jax.ShapeDtypeStruct((T, C), dtype),
                 jax.ShapeDtypeStruct((C, H), jnp.float32),
                 jax.ShapeDtypeStruct((1, H), jnp.float32),
                 jax.ShapeDtypeStruct((H, C), jnp.float32),
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
-            ],
+            ], x),
             interpret=interpret,
         )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C), dout)
         return dx, dw1, db1.reshape(H), dw2, db2.reshape(C)
@@ -176,7 +178,7 @@ def _make_fused(C: int, H: int, approximate: bool, rblk: int, dtype_name: str,
             ],
             out_specs=pl.BlockSpec((rblk, C), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((T, C), dtype),
+            out_shape=with_vma(jax.ShapeDtypeStruct((T, C), dtype), x),
             interpret=interpret,
         )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C))
         return out
@@ -193,8 +195,12 @@ def _make_fused(C: int, H: int, approximate: bool, rblk: int, dtype_name: str,
     def bwd(res, g):
         x, w1, b1, w2, b2 = res
         dx, dw1, db1, dw2, db2 = pallas_bwd(x, w1, b1, w2, b2, g.astype(dtype))
-        return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
-                dw2.astype(w2.dtype), db2.astype(b2.dtype))
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dx, match_vma(dw1.astype(w1.dtype), w1),
+                match_vma(db1.astype(b1.dtype), b1),
+                match_vma(dw2.astype(w2.dtype), w2),
+                match_vma(db2.astype(b2.dtype), b2))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -245,8 +251,12 @@ def _make_fused_nd(C: int, H: int, approximate: bool, rblk: int, dtype_name: str
             x.reshape(T, C), w1.astype(dtype), b1.astype(jnp.float32),
             w2.astype(dtype), b2.astype(jnp.float32), g.reshape(T, C).astype(dtype)
         )
-        return (dx.reshape(x.shape), dw1.astype(w1.dtype), db1.astype(b1.dtype),
-                dw2.astype(w2.dtype), db2.astype(b2.dtype))
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dx.reshape(x.shape), match_vma(dw1.astype(w1.dtype), w1),
+                match_vma(db1.astype(b1.dtype), b1),
+                match_vma(dw2.astype(w2.dtype), w2),
+                match_vma(db2.astype(b2.dtype), b2))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -434,7 +444,7 @@ def _make_mlp_block(C: int, H: int, approximate: bool, ln_eps: float, has_dp: bo
                                    memory_space=pltpu.VMEM)] + const_specs(),
             out_specs=pl.BlockSpec((rblk, C), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((T, C), dtype),
+            out_shape=with_vma(jax.ShapeDtypeStruct((T, C), dtype), x),
             interpret=interpret,
         )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
           gamma.reshape(1, C).astype(jnp.float32),
@@ -470,7 +480,7 @@ def _make_mlp_block(C: int, H: int, approximate: bool, ln_eps: float, has_dp: bo
                 pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_shape=[
+            out_shape=with_vma([
                 jax.ShapeDtypeStruct((T, C), dtype),
                 jax.ShapeDtypeStruct((C, H), jnp.float32),
                 jax.ShapeDtypeStruct((1, H), jnp.float32),
@@ -478,7 +488,7 @@ def _make_mlp_block(C: int, H: int, approximate: bool, ln_eps: float, has_dp: bo
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
-            ],
+            ], x),
             interpret=interpret,
         )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
           gamma.reshape(1, C).astype(jnp.float32),
@@ -495,9 +505,14 @@ def _make_mlp_block(C: int, H: int, approximate: bool, ln_eps: float, has_dp: bo
         x, w1, b1, w2, b2, gamma, beta, dscale = res
         dx, dw1, db1, dw2, db2, dg, dbe = pallas_bwd_call(
             x, w1, b1, w2, b2, gamma, beta, dscale, g.astype(dtype))
-        return (dx, dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
-                dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype),
-                dg.reshape(gamma.shape), dbe.reshape(beta.shape),
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dx, match_vma(dw1.astype(w1.dtype), w1),
+                match_vma(db1.reshape(b1.shape).astype(b1.dtype), b1),
+                match_vma(dw2.astype(w2.dtype), w2),
+                match_vma(db2.reshape(b2.shape).astype(b2.dtype), b2),
+                match_vma(dg.reshape(gamma.shape), gamma),
+                match_vma(dbe.reshape(beta.shape), beta),
                 jnp.zeros_like(dscale))
 
     fused.defvjp(fwd, bwd)

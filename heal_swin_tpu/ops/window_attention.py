@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from heal_swin_tpu.ops.vma_util import with_vma
+
 MASK_VALUE = -100.0
 
 _BATCH_QK = (((2,), (2,)), ((0,), (0,)))  # (w,i,d)x(w,j,d) -> (w,i,j)
@@ -549,7 +551,7 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((fwd_wblk, ws, C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nw, ws, C), dtype),
+            out_shape=with_vma(jax.ShapeDtypeStruct((nw, ws, C), dtype), x),
             interpret=interpret,
         )(gcol, grow, x3, wqkv, bqkv.reshape(1, 3 * C), bias, scale_arr)
         return out.reshape(x.shape[0], C)
@@ -591,13 +593,13 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
-            out_shape=[
+            out_shape=with_vma([
                 jax.ShapeDtypeStruct((nw, ws, C), dtype),
                 jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
                 jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
                 jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
-            ],
+            ], x),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(gcol, grow, x3, wqkv, bqkv.reshape(1, 3 * C), bias, scale_arr,
@@ -609,8 +611,14 @@ def _make_fused_qkv(ws: int, C: int, h: int, use_cos: bool, has_bias: bool,
         dx, dw, db, dbias, dls = pallas_bwd(
             x, wqkv, bqkv, groups, bias, logit_scale, g.astype(dtype)
         )
-        return (dx, dw.astype(wqkv.dtype), db.reshape(bqkv.shape).astype(bqkv.dtype),
-                _float0_like(groups), dbias, dls.reshape(h))
+        # parameter cotangents must be typed like the (replicated) primals under
+        # shard_map sequence/data sharding — see parallel/sequence.py match_vma
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dx, match_vma(dw.astype(wqkv.dtype), wqkv),
+                match_vma(db.reshape(bqkv.shape).astype(bqkv.dtype), bqkv),
+                _float0_like(groups), match_vma(dbias, bias),
+                match_vma(dls.reshape(h), logit_scale))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -679,7 +687,7 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
             ],
             out_specs=pl.BlockSpec((wblk, ws, C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nw, ws, C), dtype),
+            out_shape=with_vma(jax.ShapeDtypeStruct((nw, ws, C), dtype), qkv),
             interpret=interpret,
         )(gcol, grow, qkv.reshape(nw, ws, 3 * C), bias, scale_arr)
         return out.reshape(T, C)
@@ -726,11 +734,11 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
                 pl.BlockSpec((h, ws, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
-            out_shape=[
+            out_shape=with_vma([
                 jax.ShapeDtypeStruct((nw, ws, 3 * C), dtype),
                 jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
-            ],
+            ], qkv),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(gcol, grow, qkv.reshape(nw, ws, 3 * C), bias, scale_arr,
@@ -740,7 +748,10 @@ def _make_fused(ws: int, C: int, h: int, use_cos: bool, has_bias: bool, has_mask
     def bwd(res, g):
         qkv, groups, bias, logit_scale = res
         dqkv, dbias, dls = pallas_bwd(qkv, groups, bias, logit_scale, g.astype(dtype))
-        return dqkv, _float0_like(groups), dbias, dls.reshape(h)
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dqkv, _float0_like(groups), match_vma(dbias, bias),
+                match_vma(dls.reshape(h), logit_scale))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -985,7 +996,7 @@ def _make_fused_qkv_epi(ws: int, C: int, h: int, has_bias: bool, has_mask: bool,
             in_specs=block_specs(fw) + const_specs(),
             out_specs=pl.BlockSpec((fw, ws, C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nw, ws, C), dtype),
+            out_shape=with_vma(jax.ShapeDtypeStruct((nw, ws, C), dtype), x),
             scratch_shapes=[pltpu.VMEM((fw, ws, C), dtype)],
             interpret=interpret,
         )(gcol, grow, x3, *operands(wqkv, bqkv, wp, bp, gamma, beta), bias,
@@ -1033,7 +1044,7 @@ def _make_fused_qkv_epi(ws: int, C: int, h: int, has_bias: bool, has_mask: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
-            out_shape=[
+            out_shape=with_vma([
                 jax.ShapeDtypeStruct((nw, ws, C), dtype),
                 jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
                 jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
@@ -1043,7 +1054,7 @@ def _make_fused_qkv_epi(ws: int, C: int, h: int, has_bias: bool, has_mask: bool,
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
                 jax.ShapeDtypeStruct((h, ws, ws), jnp.float32),
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
-            ],
+            ], x),
             scratch_shapes=[
                 pltpu.VMEM((bw, ws, 3 * C), dtype),
                 pltpu.VMEM((bw, ws, C), dtype),
@@ -1062,10 +1073,16 @@ def _make_fused_qkv_epi(ws: int, C: int, h: int, has_bias: bool, has_mask: bool,
         dx, dw, db, dwp, dbp, dg, dbe, dbias, dls = pallas_bwd(
             x, wqkv, bqkv, wp, bp, gamma, beta, groups, bias, logit_scale,
             g.astype(dtype))
-        return (dx, dw.astype(wqkv.dtype), db.reshape(bqkv.shape).astype(bqkv.dtype),
-                dwp.astype(wp.dtype), dbp.reshape(bp.shape).astype(bp.dtype),
-                dg.reshape(gamma.shape), dbe.reshape(beta.shape),
-                _float0_like(groups), dbias, dls.reshape(h))
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dx, match_vma(dw.astype(wqkv.dtype), wqkv),
+                match_vma(db.reshape(bqkv.shape).astype(bqkv.dtype), bqkv),
+                match_vma(dwp.astype(wp.dtype), wp),
+                match_vma(dbp.reshape(bp.shape).astype(bp.dtype), bp),
+                match_vma(dg.reshape(gamma.shape), gamma),
+                match_vma(dbe.reshape(beta.shape), beta),
+                _float0_like(groups), match_vma(dbias, bias),
+                match_vma(dls.reshape(h), logit_scale))
 
     fused.defvjp(fwd, bwd)
     return fused

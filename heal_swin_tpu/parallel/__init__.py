@@ -25,17 +25,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 
 
 def make_data_mesh(n_devices: Optional[int] = None,
-                   devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` local devices (all by
-    default).  Replaces the reference's ``pl.Trainer(gpus=...)`` device selection."""
+                   devices: Optional[Sequence] = None,
+                   seq_parallel: int = 1) -> Mesh:
+    """Device mesh for training.  ``seq_parallel == 1`` (the default): a 1-D
+    data-parallel mesh over the first ``n_devices`` local devices (all by default) —
+    replaces the reference's ``pl.Trainer(gpus=...)`` device selection.
+
+    ``seq_parallel > 1``: a 2-D ``(data, seq)`` mesh — the token axis of the
+    HEALPix sequence shards over the trailing (fastest-varying, i.e. closest-on-ICI)
+    ``seq_parallel`` devices of each data-parallel group (see parallel/sequence.py).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = list(devices)[: min(n_devices, len(devices))]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    devices = np.asarray(devices)
+    if seq_parallel <= 1:
+        return Mesh(devices, (DATA_AXIS,))
+    assert devices.size % seq_parallel == 0, (
+        f"{devices.size} devices not divisible by seq_parallel_devices={seq_parallel}"
+    )
+    return Mesh(devices.reshape(-1, seq_parallel), (DATA_AXIS, SEQ_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

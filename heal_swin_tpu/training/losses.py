@@ -17,10 +17,14 @@ import jax
 import jax.numpy as jnp
 
 
-def weighted_cross_entropy(logits, targets, class_weights=None, sample_mask=None):
+def weighted_cross_entropy(logits, targets, class_weights=None, sample_mask=None,
+                           axis_names=None):
     """logits: (..., C) float; targets: (...) int.  torch CrossEntropyLoss(weight=w):
     sum_i w[y_i] * nll_i / sum_i w[y_i].  ``sample_mask``: optional (B,) or
-    element-shaped bool excluding padded samples from the mean."""
+    element-shaped bool excluding padded samples from the mean.  ``axis_names``:
+    mesh axes to psum the weighted sum AND the weight total over before dividing —
+    required for an exact global mean when logits/targets are device-local shards
+    inside ``shard_map`` (the data/sequence-parallel trainer path)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     # one-hot contraction instead of take_along_axis: the gather compiles to a slow
     # TPU custom fusion (~13 ms/step at paper scale); the masked sum fuses into the
@@ -35,12 +39,18 @@ def weighted_cross_entropy(logits, targets, class_weights=None, sample_mask=None
     if sample_mask is not None:
         m = jnp.reshape(sample_mask, sample_mask.shape + (1,) * (nll.ndim - sample_mask.ndim))
         w = w * m.astype(w.dtype)
-    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
+    num, den = jnp.sum(w * nll), jnp.sum(w)
+    if axis_names is not None:
+        num, den = jax.lax.psum((num, den), axis_names)
+    return num / jnp.maximum(den, 1e-12)
 
 
-def _masked_mean(values, mask):
-    cnt = jnp.sum(mask)
-    return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(cnt, 1)
+def _masked_mean(values, mask, axis_names=None):
+    num, cnt = jnp.sum(jnp.where(mask, values, 0.0)), jnp.sum(mask)
+    if axis_names is not None:
+        # shard-local values: global mean = psum(sum) / psum(count) (parallel/sequence.py)
+        num, cnt = jax.lax.psum((num, cnt), axis_names)
+    return num / jnp.maximum(cnt, 1)
 
 
 def _masked_diff(means, target, mask):
@@ -51,37 +61,39 @@ def _masked_diff(means, target, mask):
     return jnp.where(mask, means - jnp.where(mask, target, 0.0), 0.0)
 
 
-def mse(preds, target, mask_background: bool = False):
+def mse(preds, target, mask_background: bool = False, axis_names=None):
     """Reference depth 'l2' loss: mean of squared diff / 2 over finite targets.
     preds: (B, N, f_out) channels-last; channel 0 holds the mean prediction."""
     means = preds[..., 0]
     mask = ~jnp.isinf(target)
-    return _masked_mean(jnp.square(_masked_diff(means, target, mask)) / 2.0, mask)
+    return _masked_mean(jnp.square(_masked_diff(means, target, mask)) / 2.0, mask,
+                        axis_names)
 
 
-def mean_log_var_loss(preds, target, mask_background: bool = False):
+def mean_log_var_loss(preds, target, mask_background: bool = False, axis_names=None):
     """Gaussian NLL over (mean, logvar) channels (reference loss_depth_regression.py:24-40)."""
     means = preds[..., 0]
     log_var = preds[..., 1]
     mask = ~jnp.isinf(target)
     lv = jnp.where(mask, log_var, 0.0)
     vals = 0.5 * lv + jnp.square(_masked_diff(means, target, mask)) * (0.5 * jnp.exp(-lv))
-    return _masked_mean(vals, mask)
+    return _masked_mean(vals, mask, axis_names)
 
 
-def l1_loss(preds, target, mask_background: bool = False):
+def l1_loss(preds, target, mask_background: bool = False, axis_names=None):
     means = preds[..., 0]
     mask = ~jnp.isinf(target)
-    return _masked_mean(jnp.abs(_masked_diff(means, target, mask)), mask)
+    return _masked_mean(jnp.abs(_masked_diff(means, target, mask)), mask, axis_names)
 
 
-def huber_loss(preds, target, mask_background: bool = False, delta: float = 1.0):
+def huber_loss(preds, target, mask_background: bool = False, delta: float = 1.0,
+               axis_names=None):
     """torch SmoothL1Loss(beta=delta): 0.5*d^2/beta if |d|<beta else |d|-0.5*beta."""
     means = preds[..., 0]
     mask = ~jnp.isinf(target)
     d = jnp.abs(_masked_diff(means, target, mask))
     vals = jnp.where(d < delta, 0.5 * d * d / delta, d - 0.5 * delta)
-    return _masked_mean(vals, mask)
+    return _masked_mean(vals, mask, axis_names)
 
 
 def get_depth_loss(common_depth_config) -> Callable:

@@ -78,6 +78,12 @@ class PLConfig:
       check_val_every_n_epoch, log_every_n_steps, fast_dev_run, deterministic,
       resume_from_checkpoint, terminate_on_nan, num_sanity_val_steps.
     - accepted-and-ignored (no XLA equivalent / handled elsewhere): everything else.
+    - ``seq_parallel_devices`` (TPU extension, no reference analogue): shard the
+      HEALPix token axis over this many devices per data-parallel group — the mesh
+      becomes (devices/sp, sp) over ('data', 'seq') and the train/eval steps run
+      under ``jax.shard_map`` (parallel/sequence.py).  Lets a single sample's
+      524k-pixel sequence (or a larger nside) spread across chips; the effective
+      batch is batch_size * (devices / seq_parallel_devices).
     """
 
     checkpoint_callback: bool = True
@@ -130,6 +136,7 @@ class PLConfig:
     move_metrics_to_cpu: bool = False
     multiple_trainloader_mode: str = "max_size_cycle"
     stochastic_weight_avg: bool = False
+    seq_parallel_devices: int = 1  # TPU extension: sequence-parallel shards (see docstring)
 
     def num_devices(self) -> Optional[int]:
         """Resolve ``gpus`` to a device count (None -> all available)."""

@@ -12,7 +12,11 @@ TPU-native design (SURVEY.md §7.1 step 4, §5.8):
 - LR schedulers run host-side between epochs through an injected optax hyperparameter
   (no recompiles);
 - ragged validation batches are padded to the mesh size with a sample mask, instead of
-  the reference's forced single-device evaluation (evaluate.py:98-105).
+  the reference's forced single-device evaluation (evaluate.py:98-105);
+- optional sequence parallelism (``PLConfig.seq_parallel_devices``): a 2-D
+  (data, seq) mesh where each sample's HEALPix token sequence shards across devices;
+  the steps then run under ``jax.shard_map`` with explicit psum'd loss terms and
+  metric increments (parallel/sequence.py).
 
 Honored PLConfig flags are documented in training/train_config.py.
 """
@@ -71,13 +75,35 @@ class Trainer:
         self.tc = train_config or TrainConfig()
         self.run = run
 
-        self.mesh = make_data_mesh(pl_config.num_devices())
+        # sequence parallelism (TPU extension, parallel/sequence.py): a 2-D
+        # (data, seq) mesh; the token axis shards over 'seq' and the train/eval
+        # steps run under jax.shard_map instead of jit+GSPMD
+        self.sp = max(int(getattr(pl_config, "seq_parallel_devices", 1) or 1), 1)
+        self.mesh = make_data_mesh(pl_config.num_devices(), seq_parallel=self.sp)
         self.devices = list(self.mesh.devices.flat)
         self.n_devices = len(self.devices)
+        self.dp = self.n_devices // self.sp  # data-parallel groups
         self.repl = replicated(self.mesh)
         self.batch_sharding = batch_sharded(self.mesh)
         self.n_processes = jax.process_count()
         self.is_global_zero = jax.process_index() == 0
+        if self.sp > 1:
+            assert self.n_processes == 1, (
+                "seq_parallel_devices > 1 is single-process (ICI) for now; combine "
+                "with multi-host data parallelism once sp-aware batch slicing lands"
+            )
+        # shard_map instead of jit+GSPMD: required for sequence parallelism, and
+        # preferred on multi-chip TPU (the Pallas kernels then always see per-shard
+        # operands).  HEAL_SWIN_FORCE_SHMAP=1 forces it (CI coverage of the path on
+        # the CPU mesh); single-chip keeps the measured jit path.
+        import os as _os
+
+        self._use_shmap = (
+            self.sp > 1
+            or (self.n_devices > 1 and jax.default_backend() == "tpu"
+                and self.n_processes == 1)
+            or _os.environ.get("HEAL_SWIN_FORCE_SHMAP") == "1"
+        )
 
         self.ckpt_manager = None
         if ckpt_dir is not None and pl_config.checkpoint_callback and not pl_config.fast_dev_run:
@@ -181,7 +207,7 @@ class Trainer:
         (mask, cal_id) tuples of the on-device projection pipeline)."""
         imgs = np.asarray(imgs)
         b = imgs.shape[0]
-        target_b = -(-b // self.n_devices) * self.n_devices
+        target_b = -(-b // self.dp) * self.dp
         mask = np.zeros(target_b, dtype=bool)
         mask[:b] = True
 
@@ -208,8 +234,10 @@ class Trainer:
             np.random.seed(tc.seed)
         rng = jax.random.PRNGKey(tc.seed if tc.seed is not None else 0)
 
+        if self.sp > 1:
+            raise NotImplementedError("auto_lr_find with seq_parallel_devices > 1")
         loader = datamodule.train_dataloader()
-        loader.batch_size = loader.batch_size * self.n_devices
+        loader.batch_size = loader.batch_size * self.dp
         loader.drop_last = True
         avail = loader.indices if loader.indices is not None else np.arange(len(loader.dataset))
         if len(avail) < loader.batch_size:
@@ -296,7 +324,9 @@ class Trainer:
         # data
         train_loader = datamodule.train_dataloader()
         per_dev_bs = train_loader.batch_size
-        train_loader.batch_size = per_dev_bs * self.n_devices  # reference per-device semantics
+        # reference per-device batch semantics; sequence-parallel groups share samples,
+        # so the global batch scales with the number of DATA-parallel groups
+        train_loader.batch_size = per_dev_bs * self.dp
         train_loader.drop_last = True
         # tiny subsets (manual-overfit) must still fill one global batch
         avail = (
@@ -356,6 +386,9 @@ class Trainer:
         rng_host = np.asarray(rng)
 
         def build_train_step():
+            if self._use_shmap:
+                return self._build_train_step_shmap(task, transform, tx, rng_host)
+
             @partial(
                 jax.jit,
                 donate_argnums=(0, 1, 2, 3),
@@ -536,6 +569,120 @@ class Trainer:
             last_metrics=best_metrics,
         )
 
+    # ------------------------------------------------ sequence-parallel steps
+    def _seq_slice_tokens(self, tree, dim_in):
+        """This sequence shard's token slice of every token-indexed array in the
+        batch pytree (axis 1 == the model's global pixel count; per-sample scalars
+        like calibration ids pass through).  Inputs ship replicated over 'seq'
+        (P('data')), so the slice is local."""
+        from heal_swin_tpu.parallel.sequence import seq_local_slice
+
+        def f(a):
+            if hasattr(a, "ndim") and a.ndim >= 2 and a.shape[1] == dim_in:
+                return seq_local_slice(a, "seq", self.sp, axis=1)
+            return a
+
+        return jax.tree.map(f, tree)
+
+    def _build_train_step_shmap(self, task, transform, tx, rng_host):
+        """Train step under ``jax.shard_map`` over the mesh (parallel/sequence.py):
+        params/optimizer/metric state replicated, batches sharded over 'data' and
+        token-sliced over 'seq' (when sequence-parallel) inside the step; the loss
+        psums its mean over the mesh axes and metric increments psum explicitly
+        (the shard_map analogue of GSPMD's inserted all-reduce).
+
+        Used whenever the mesh has a 'seq' axis, and for MULTI-CHIP TPU data
+        parallelism: under shard_map the Pallas kernels always see per-shard
+        operands, whereas jit+GSPMD treats a pallas_call as an opaque call whose
+        operands it may gather."""
+        from jax.sharding import PartitionSpec as P
+
+        from heal_swin_tpu.parallel.sequence import psum_tree
+
+        axes = tuple(self.mesh.axis_names)
+        seq = ("seq", self.sp) if self.sp > 1 else None
+        dim_in = task.data_spec.dim_in
+
+        def step_body(params, opt_state, mstate, loss_acc, imgs, targets, step_idx):
+            step_rng = jax.random.fold_in(rng_host, step_idx)
+            # distinct dropout draws per data shard; sequence shards of the same
+            # samples share the key (DropPath's per-sample mask must agree across
+            # token shards)
+            step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index("data"))
+            if transform is not None:
+                imgs, targets = transform(imgs, targets)
+            if seq is not None:
+                imgs = self._seq_slice_tokens(imgs, dim_in)
+                targets = self._seq_slice_tokens(targets, dim_in)
+
+            def lf(p):
+                return task.loss_fn(
+                    p, imgs, targets, rng=step_rng, deterministic=False,
+                    axis_names=axes, seq=seq,
+                )
+
+            (loss, outputs), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            # grads arrive ALREADY globally reduced: params enter invariant (P()),
+            # and shard_map's vma-typed transpose of the invariant->varying cast IS
+            # the cross-device psum.  An explicit psum here would multiply by the
+            # device count (caught by tests/test_sequence_parallel.py
+            # test_sp_gradient_equivalence — Adam hides pure scale errors).
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            inc = psum_tree(
+                task.metric_update(task.metric_init(), outputs, targets), axes
+            )
+            mstate2 = jax.tree.map(jnp.add, mstate, inc)
+            return params2, opt_state2, mstate2, loss_acc + loss, loss
+
+        shmapped = jax.shard_map(
+            step_body,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P("data"), P("data"), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=True,
+        )
+        return jax.jit(shmapped, donate_argnums=(0, 1, 2, 3))
+
+    def _build_eval_step_shmap(self, task, transform):
+        from jax.sharding import PartitionSpec as P
+
+        from heal_swin_tpu.parallel.sequence import psum_tree
+
+        axes = tuple(self.mesh.axis_names)
+        seq = ("seq", self.sp) if self.sp > 1 else None
+        dim_in = task.data_spec.dim_in
+
+        def eval_body(params, mstate, imgs, targets, sample_mask):
+            if transform is not None:
+                imgs, targets = transform(imgs, targets)
+            if seq is not None:
+                imgs = self._seq_slice_tokens(imgs, dim_in)
+                targets = self._seq_slice_tokens(targets, dim_in)
+            loss, outputs = task.loss_fn(
+                params, imgs, targets, deterministic=True, sample_mask=sample_mask,
+                axis_names=axes, seq=seq,
+            )
+            inc = psum_tree(
+                task.metric_update(
+                    task.metric_init(), outputs, targets, sample_mask=sample_mask
+                ),
+                axes,
+            )
+            mstate2 = jax.tree.map(jnp.add, mstate, inc)
+            # sample_mask shards over 'data' only (identical across 'seq')
+            valid = jax.lax.psum(jnp.sum(sample_mask.astype(jnp.float32)), "data")
+            return mstate2, loss * valid, valid
+
+        shmapped = jax.shard_map(
+            eval_body,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P()),
+            check_vma=True,
+        )
+        return jax.jit(shmapped, donate_argnums=(1,))
+
     # ------------------------------------------------------------- validation
     def _get_eval_step(self, task, transform=None):
         cache = getattr(self, "_eval_steps", None)
@@ -543,6 +690,10 @@ class Trainer:
             cache = self._eval_steps = {}
         key = (id(task), id(transform))
         if key not in cache:
+            if self._use_shmap:
+                cache[key] = self._build_eval_step_shmap(task, transform)
+                return cache[key]
+
             @partial(jax.jit, donate_argnums=(1,))
             def eval_step(params, mstate, imgs, targets, sample_mask):
                 if transform is not None:

@@ -1,0 +1,262 @@
+"""Sequence parallelism (parallel/sequence.py): token-axis sharding equivalence.
+
+The HP model is token-local except the shift permutations, so running it under
+``jax.shard_map`` with the sequence sharded over a mesh axis must reproduce the
+unsharded computation exactly: forward bit-equal, training (loss trajectory, final
+params) equal up to all-reduce float noise.  A wrong permutation slice, a missed
+psum (loss numerator/denominator, gradients, metric increments), or a mask-group
+misalignment fails these tests.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from heal_swin_tpu.data.data import get_data_module
+from heal_swin_tpu.data.data_spec import DataSpec
+from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig, SwinHPTransformerSys
+from heal_swin_tpu.models.tasks import MODEL_FROM_CONFIG_NAME
+from heal_swin_tpu.parallel.sequence import sharded_permute_tokens
+from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+from heal_swin_tpu.training.train_config import PLConfig
+from heal_swin_tpu.training.trainer import Trainer
+from heal_swin_tpu.utils.utils import get_config_from_config_path
+
+CONFIG = "run_configs/swin_hp_test_run_config.py"
+
+
+def _seq_mesh(sp):
+    assert len(jax.devices()) >= sp, "conftest must provide the 8-device CPU mesh"
+    return Mesh(np.asarray(jax.devices()[:sp]), ("seq",))
+
+
+def test_sharded_permute_matches_unsharded():
+    """Value AND gradient of the sharded permutation gather == jnp.take."""
+    rng = np.random.RandomState(0)
+    B, N, C, sp = 2, 64, 5, 4
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    perm = rng.permutation(N).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    g = jnp.asarray(rng.randn(B, N, C).astype(np.float32))  # cotangent
+
+    ref = jnp.take(x, jnp.asarray(perm), axis=1)
+    ref_dx = jax.grad(lambda x: jnp.sum(jnp.take(x, jnp.asarray(perm), axis=1) * g))(x)
+
+    mesh = _seq_mesh(sp)
+
+    def f(x):
+        y = sharded_permute_tokens(x, jnp.asarray(perm), jnp.asarray(inv), "seq", sp)
+        return y
+
+    y = jax.jit(
+        jax.shard_map(f, mesh=mesh, in_specs=P(None, "seq"), out_specs=P(None, "seq"),
+                      check_vma=True)
+    )(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    def loss(x, g):
+        y = sharded_permute_tokens(x, jnp.asarray(perm), jnp.asarray(inv), "seq", sp)
+        return jax.lax.psum(jnp.sum(y * g), "seq")
+
+    dx = jax.jit(
+        jax.shard_map(
+            jax.grad(loss), mesh=mesh,
+            in_specs=(P(None, "seq"), P(None, "seq")), out_specs=P(None, "seq"),
+            check_vma=True,
+        )
+    )(x, g)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
+
+
+@pytest.mark.parametrize("strategy", ["nest_roll", "nest_grid_shift", "ring_shift"])
+def test_sp_forward_equivalence(strategy):
+    """Sharded (sp=4) forward == unsharded forward, bit-exact on CPU f32."""
+    nside = 16
+    npix = 8 * nside * nside
+    spec = DataSpec(dim_in=npix, f_in=3, f_out=5, base_pix=8)
+    cfg = SwinHPTransformerConfig(
+        patch_size=4, window_size=16, shift_size=8, shift_strategy=strategy,
+        rel_pos_bias="flat", embed_dim=8, depths=[2, 2], num_heads=[2, 4],
+        use_cos_attn=(strategy == "ring_shift"),
+        use_v2_norm_placement=(strategy == "ring_shift"),
+        drop_path_rate=0.0,
+    )
+    model = SwinHPTransformerSys(cfg, spec)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, npix, 3), jnp.float32)
+    params = jax.jit(model.init, static_argnums=2)(rng, x, True)
+    ref = jax.jit(lambda p, x: model.apply(p, x, True))(params, x)
+
+    sp = 4
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda p, xl: model.apply(p, xl, True, seq=("seq", sp)),
+            mesh=_seq_mesh(sp), in_specs=(P(), P(None, "seq")),
+            out_specs=P(None, "seq"), check_vma=True,
+        )
+    )(params, x)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(ref))
+
+
+def _train(tmp_path, n_devices, sp, global_batch=4, epochs=2):
+    run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+    dp = n_devices // sp
+    data = dataclasses.replace(
+        run_config.data,
+        common=dataclasses.replace(
+            run_config.data.common,
+            batch_size=global_batch // dp,
+            val_batch_size=2,
+        ),
+    )
+    # drop_path draws differ between the GSPMD path (one global mask) and the
+    # shard_map path (per-data-shard folded keys); disable for exact comparison
+    model_cfg = dataclasses.replace(
+        run_config.model,
+        swin_hp_transformer_config=dataclasses.replace(
+            run_config.model.swin_hp_transformer_config, drop_path_rate=0.0
+        ),
+    )
+    run_config = dataclasses.replace(run_config, data=data, model=model_cfg)
+
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+
+    store = MlflowFileStore(tmp_path / f"mlruns_{n_devices}x{sp}")
+    run = store.create_run("sp_equivalence")
+    pl = PLConfig(
+        max_epochs=epochs, limit_train_batches=1, limit_val_batches=1,
+        num_sanity_val_steps=0, log_every_n_steps=1, gpus=n_devices,
+        seq_parallel_devices=sp,
+    )
+    trainer = Trainer(pl, run_config.train, run=run, ckpt_dir=None)
+    trainer.fit(task, dm)
+    losses = [h[1] for h in run.get_metric_history("train_loss")]
+    val_losses = [h[1] for h in run.get_metric_history("val_loss")]
+    val_ious = [h[1] for h in run.get_metric_history("val_iou_global")]
+    return losses, val_losses, val_ious, jax.device_get(trainer._params)
+
+
+def test_sp_train_equivalence(tmp_path):
+    """2 epochs on (dp=2, sp=4) == 2 epochs on 1 device: same losses and the same
+    psum-reduced val metrics.  The epoch-2 train loss is computed AFTER the first
+    optimizer update, so its match implies the sharded step-1 update was right.
+
+    Final params are compared at Adam's noise floor: for near-zero gradients the
+    normalized update m/sqrt(v) is sign-sensitive to reduction-order float noise, so
+    per-element differences up to ~2*lr*steps are expected and carry no signal
+    (gradient-scale bugs are invisible to Adam anyway — see the direct gradient
+    equivalence test below for the rigorous check)."""
+    losses_1, vloss_1, viou_1, params_1 = _train(tmp_path, 1, 1)
+    losses_s, vloss_s, viou_s, params_s = _train(tmp_path, 8, 4)
+
+    assert len(losses_1) == len(losses_s) == 2
+    np.testing.assert_allclose(losses_1, losses_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vloss_1, vloss_s, rtol=1e-4, atol=1e-6)
+    # argmax-derived: loose (see test_device_equivalence.py)
+    np.testing.assert_allclose(viou_1, viou_s, rtol=0.05, atol=0.005)
+
+    lr = 1e-3  # run config optimizer lr
+    flat_1, _ = jax.tree_util.tree_flatten(params_1)
+    flat_s, treedef = jax.tree_util.tree_flatten(params_s)
+    assert len(flat_1) == len(flat_s)
+    for a, b in zip(flat_1, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2 * lr * 2 * 1.05,
+            err_msg=str(treedef),
+        )
+
+
+def test_sp_gradient_equivalence():
+    """Gradients from the shard-mapped (dp=2, sp=4) loss (psum'd num/den + psum'd
+    grads) == plain global-batch gradients, to reduction-order float noise.  This is
+    the check Adam-evolved params cannot provide: a missing/extra psum, a wrong
+    cotangent routing through the sharded permutation, or a loss-denominator error
+    shows up here directly."""
+    run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+
+    rng = jax.random.PRNGKey(0)
+    loader = dm.train_dataloader()
+    loader.batch_size = 4
+    loader.set_epoch(0)
+    imgs, targets = next(iter(loader))
+    imgs, targets = jnp.asarray(imgs), jnp.asarray(targets)
+    params = jax.jit(task.init_variables)(rng, imgs[:1])
+
+    ref_loss, ref_grads = jax.jit(
+        jax.value_and_grad(lambda p: task.loss_fn(p, imgs, targets)[0])
+    )(params)
+
+    dp, sp = 2, 4
+    mesh = Mesh(np.asarray(jax.devices()[: dp * sp]).reshape(dp, sp), ("data", "seq"))
+    axes = ("data", "seq")
+
+    def grad_body(params, imgs, targets):
+        def lf(p):
+            return task.loss_fn(
+                p, imgs, targets, axis_names=axes, seq=("seq", sp)
+            )[0]
+
+        # grads of the invariant (replicated) params come out globally reduced:
+        # shard_map's vma transpose inserts the psum (an explicit one would scale
+        # by the device count)
+        return jax.value_and_grad(lf)(params)
+
+    loss_s, grads_s = jax.jit(
+        jax.shard_map(
+            grad_body, mesh=mesh,
+            in_specs=(P(), P("data", "seq"), P("data", "seq")),
+            out_specs=(P(), P()), check_vma=True,
+        )
+    )(params, imgs, targets)
+
+    np.testing.assert_allclose(float(loss_s), float(ref_loss), rtol=1e-6)
+    flat_r, _ = jax.tree_util.tree_flatten(ref_grads)
+    flat_s, treedef = jax.tree_util.tree_flatten(grads_s)
+    for a, b in zip(flat_r, flat_s):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-5 * max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=tol, err_msg=str(treedef))
+
+
+def test_forced_shmap_dp_equivalence(tmp_path, monkeypatch):
+    """The shard_map step path with a PLAIN data-parallel mesh (the variant real
+    multi-chip TPU runs use, where pallas_call must see per-shard operands) matches
+    the 1-device jit path on losses/val metrics.  HEAL_SWIN_FORCE_SHMAP=1 exercises
+    it on the CPU mesh."""
+    losses_1, vloss_1, viou_1, _ = _train(tmp_path, 1, 1, global_batch=8)
+    monkeypatch.setenv("HEAL_SWIN_FORCE_SHMAP", "1")
+    losses_s, vloss_s, viou_s, _ = _train(tmp_path, 8, 1, global_batch=8)
+    np.testing.assert_allclose(losses_1, losses_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vloss_1, vloss_s, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(viou_1, viou_s, rtol=0.05, atol=0.005)
+
+
+def test_sp_depth_train_smoke(tmp_path):
+    """Depth task under (dp=2, sp=2): psum'd masked-mean losses and additive depth
+    metric increments stay finite and the run completes."""
+    run_config = get_config_from_config_path(
+        "run_configs/depth_swin_hp_test_run_config.py", "get_train_run_config"
+    )
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+
+    store = MlflowFileStore(tmp_path / "mlruns_depth_sp")
+    run = store.create_run("sp_depth")
+    pl = PLConfig(
+        max_epochs=1, limit_train_batches=1, limit_val_batches=1,
+        num_sanity_val_steps=0, log_every_n_steps=1, gpus=4, seq_parallel_devices=2,
+    )
+    trainer = Trainer(pl, run_config.train, run=run, ckpt_dir=None)
+    result = trainer.fit(task, dm)
+    assert np.isfinite(result.last_metrics["train_loss"])
+    assert np.isfinite(result.last_metrics["val_mse"])
