@@ -81,10 +81,11 @@ class _SegmenterBase:
     def init_variables(self, rng, imgs):
         return self.model.init(rng, jnp.asarray(imgs), True)
 
-    def _fused_tail_ok(self, sample_mask):
+    def _fused_tail_ok(self, sample_mask, seq=None):
         """Gate for the fused expand+LN+head+CE train path (ops/final_head.py):
         HP model with the config flag on, no eval padding mask (the kernel's
-        confusion matrix counts every element)."""
+        confusion matrix counts every element).  ``seq``: the (axis_name, n_shards)
+        token sharding — the kernel then sees the per-shard token count."""
         cfg = getattr(self.config, "swin_hp_transformer_config", None)
         if cfg is None or not getattr(cfg, "fused_final_head", False):
             return False
@@ -96,6 +97,10 @@ class _SegmenterBase:
 
         npix = self.data_spec.dim_in
         T = npix // cfg.patch_size  # tokens per sample (batch folds in at call time)
+        if seq is not None and seq[1] > 1:
+            if T % seq[1] != 0:
+                return False
+            T //= seq[1]
         return fh.supported(T, cfg.embed_dim, self.num_classes, cfg.patch_size,
                             cfg.compute_dtype)
 
@@ -115,20 +120,18 @@ class _SegmenterBase:
         (parallel/sequence.py): inputs are device-local shards, ``seq`` is the model's
         (axis_name, n_shards) token sharding, and the loss psums its weighted
         numerator/denominator over ``axis_names`` so it is the exact global mean.
-        The fused decoder-tail kernel path is bypassed under ``seq`` (its kernel
-        emits a whole-sample confusion matrix; the plain tail + psum'd metric
-        increments cover the sharded case)."""
+        The fused decoder-tail kernel runs in the sharded case too (the tail is
+        token-local): it psums its own num/den and emits the SHARD-local confusion
+        matrix, which the trainer's psum'd metric increments make global."""
         rngs = {"dropout": rng} if rng is not None else None
-        # the fused tail stays off under ANY shard_map step (axis_names set): its
-        # kernel normalizes the CE by the SHARD-local weight sum and its
-        # pallas_call is built without per-call vma stamping; the plain tail +
-        # psum'd loss/metrics covers sharded execution exactly
-        if axis_names is None and self._fused_tail_ok(sample_mask):
+        if self._fused_tail_ok(sample_mask, seq):
             from heal_swin_tpu.ops import final_head as fh
 
             cfg = self.config.swin_hp_transformer_config
             p = cfg.patch_size
-            feats = self.model.apply(params, imgs, deterministic, False, rngs=rngs)
+            feats = self.model.apply(
+                params, imgs, deterministic, False, rngs=rngs, seq=seq
+            )
             B, N, C = feats.shape
             pp = params["params"]["decoder"]
             y = targets.reshape(B * N, p)
@@ -142,6 +145,7 @@ class _SegmenterBase:
                 pp["up"]["norm"]["ln"]["bias"],
                 pp["output"]["kernel"],
                 y, welem, patch_size=p, interpret=self._fh_interpret(),
+                axis_names=axis_names,
             )
             return loss, cm
         logits = self.model.apply(params, imgs, deterministic, rngs=rngs, seq=seq)

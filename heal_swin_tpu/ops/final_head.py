@@ -203,6 +203,84 @@ def _bwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref, scale_ref,
     db_ref[...] += db_acc
 
 
+def _jnp_fwd(x, we_s, gamma, beta, wh, y, welem, *, p, C, F):
+    """Pure-jnp twin of ``_fwd_kernel`` (same math, whole-T).  Used in INTERPRET
+    mode inside ``shard_map(check_vma=True)``, where the pallas HLO interpreter's
+    internal dynamic_slice mixes varying operands with invariant loop indices and
+    fails vma typing (a jax limitation).  The custom-VJP/psum semantics around it
+    are identical; kernel-vs-twin math parity is pinned by the unsharded interpret
+    tests (both equal reference_final_head)."""
+    num = jnp.zeros((), jnp.float32)
+    den = jnp.zeros((), jnp.float32)
+    cm = jnp.zeros((1, F * F), jnp.float32)
+    for i in range(p):
+        h = jax.lax.dot_general(
+            x, we_s[i], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        z, _, _ = _ln_rows(h.astype(jnp.float32), gamma, beta)
+        z = z.astype(x.dtype)
+        logits = jax.lax.dot_general(
+            z, wh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        yi = y[:, i:i + 1]
+        wi = welem[:, i:i + 1]
+        _, onehot, nll, pred_idx = _slice_ce(logits.astype(jnp.float32), yi, wi)
+        num += jnp.sum(wi * nll)
+        den += jnp.sum(wi)
+        comb = yi.astype(jnp.float32) * F + pred_idx
+        lane2 = jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[0], F * F), 1
+        ).astype(jnp.float32)
+        cm += jnp.sum((lane2 == comb).astype(jnp.float32), axis=0, keepdims=True)
+    return num.reshape(1, 1), den.reshape(1, 1), cm
+
+
+def _jnp_bwd(x, we_s, gamma, beta, wh, y, welem, scale, *, p, C, F):
+    """Pure-jnp twin of ``_bwd_kernel`` (see _jnp_fwd)."""
+    dx_acc = jnp.zeros((x.shape[0], C), jnp.float32)
+    dwh_acc = jnp.zeros((C, F), jnp.float32)
+    dg_acc = jnp.zeros((1, C), jnp.float32)
+    db_acc = jnp.zeros((1, C), jnp.float32)
+    dwe = []
+    for i in range(p):
+        we_i = we_s[i]
+        h = jax.lax.dot_general(
+            x, we_i, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        z, xhat, rstd = _ln_rows(h.astype(jnp.float32), gamma, beta)
+        z = z.astype(x.dtype)
+        logits = jax.lax.dot_general(
+            z, wh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        yi = y[:, i:i + 1]
+        wi = welem[:, i:i + 1]
+        sm, onehot, _, _ = _slice_ce(logits.astype(jnp.float32), yi, wi)
+        dlogits = (scale * wi) * (sm - onehot)
+        dlog_lo = dlogits.astype(x.dtype)
+        dwh_acc += jax.lax.dot_general(
+            z, dlog_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dz = jax.lax.dot_general(
+            dlog_lo, wh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dg_acc += jnp.sum(dz * xhat, axis=0, keepdims=True)
+        db_acc += jnp.sum(dz, axis=0, keepdims=True)
+        dzh = dz * gamma
+        dh = rstd * (
+            dzh
+            - jnp.mean(dzh, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dzh * xhat, axis=-1, keepdims=True)
+        )
+        dh_lo = dh.astype(x.dtype)
+        dx_acc += jax.lax.dot_general(
+            dh_lo, we_i, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dwe.append(jax.lax.dot_general(
+            x, dh_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+    return (dx_acc.astype(x.dtype), jnp.stack(dwe), dwh_acc, dg_acc, db_acc)
+
+
 def pick_rblk(T: int, C: int, p: int) -> int | None:
     for rblk in (512, 256, 128):
         if T % rblk == 0:
@@ -221,76 +299,104 @@ def supported(T: int, C: int, F: int, p: int, dtype) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(T: int, C: int, F: int, p: int, rblk: int, dtype_name: str,
-                interpret: bool):
+                interpret: bool, axes):
+    """``axes``: optional tuple of mesh axis names.  When set, the weighted-CE
+    numerator and denominator are psum'd over them before normalizing, so the loss
+    is the exact GLOBAL weighted mean even though x/y/welem are device-local shards
+    inside ``shard_map`` (training/trainer.py shard_map steps; the returned
+    confusion matrix stays SHARD-LOCAL — the trainer psums metric increments
+    itself).  The pallas out-shapes are vma-stamped per call (ops/vma_util.py) and
+    the weight cotangents psum'd (parallel/sequence.py match_vma), as check_vma
+    typing requires."""
+    from heal_swin_tpu.ops.vma_util import with_vma
+
     dtype = jnp.dtype(dtype_name)
     grid = (T // rblk,)
 
-    fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, p=p, C=C, F=F),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F * F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, F * F), jnp.float32),
-        ],
-        interpret=interpret,
-    )
+    def _fwd_call(x, *rest):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, p=p, C=C, F=F),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F * F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=with_vma([
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, F * F), jnp.float32),
+            ], x),
+            interpret=interpret,
+        )(x, *rest)
 
-    bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, p=p, C=C, F=F),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, C), dtype),
-            jax.ShapeDtypeStruct((p, C, C), jnp.float32),
-            jax.ShapeDtypeStruct((C, F), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
-        ],
-        interpret=interpret,
-    )
+    def _bwd_call(x, *rest):
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, p=p, C=C, F=F),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=with_vma([
+                jax.ShapeDtypeStruct((T, C), dtype),
+                jax.ShapeDtypeStruct((p, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((C, F), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ], x),
+            interpret=interpret,
+        )(x, *rest)
 
     def _split_we(we, like_dtype):
         # (C, p*C) flax layout -> (p, C, C): column block i -> leading index i
         return we.reshape(C, p, C).transpose(1, 0, 2).astype(like_dtype)
 
+    def _jnp_twin(x):
+        # pallas interpret inside shard_map(check_vma=True) fails vma typing in
+        # the HLO interpreter; run the jnp twin of the kernel there (see _jnp_fwd)
+        return interpret and bool(getattr(jax.typeof(x), "vma", frozenset()))
+
     def _run_fwd(x, we, gamma, beta, wh, y, welem):
-        num, den, cm = fwd_call(
-            x, _split_we(we, x.dtype), gamma.reshape(1, C).astype(jnp.float32),
-            beta.reshape(1, C).astype(jnp.float32), wh.astype(x.dtype), y, welem,
+        from heal_swin_tpu.ops.vma_util import pcast_like
+
+        call = (functools.partial(_jnp_fwd, p=p, C=C, F=F) if _jnp_twin(x)
+                else _fwd_call)
+        num, den, cm = call(
+            x, pcast_like(_split_we(we, x.dtype), x),
+            pcast_like(gamma.reshape(1, C).astype(jnp.float32), x),
+            pcast_like(beta.reshape(1, C).astype(jnp.float32), x),
+            pcast_like(wh.astype(x.dtype), x), y, welem,
         )
-        den_s = jnp.maximum(den[0, 0], 1e-12)
-        return num[0, 0] / den_s, den_s, cm.reshape(F, F)
+        num, den = num[0, 0], den[0, 0]
+        if axes:
+            from heal_swin_tpu.parallel.sequence import psum_tree
+
+            num, den = psum_tree((num, den), axes)
+        den_s = jnp.maximum(den, 1e-12)
+        return num / den_s, den_s, cm.reshape(F, F)
 
     @jax.custom_vjp
     def fused(x, we, gamma, beta, wh, y, welem):
@@ -304,29 +410,48 @@ def _make_fused(T: int, C: int, F: int, p: int, rblk: int, dtype_name: str,
     def bwd_rule(res, cts):
         gloss, _ = cts  # the confusion matrix carries no gradient
         x, we, gamma, beta, wh, y, welem, den_s = res
+        # gloss and den_s are mesh-invariant (the loss psums over ``axes``); the
+        # per-element dlogits scale gloss/den_global is identical on every shard
         scale = (gloss / den_s).astype(jnp.float32).reshape(1, 1)
-        dx, dwe_r, dwh, dg, db = bwd_call(
-            x, _split_we(we, x.dtype), gamma.reshape(1, C).astype(jnp.float32),
-            beta.reshape(1, C).astype(jnp.float32), wh.astype(x.dtype), y, welem,
-            scale,
+        from heal_swin_tpu.ops.vma_util import pcast_like
+
+        call = (functools.partial(_jnp_bwd, p=p, C=C, F=F) if _jnp_twin(x)
+                else _bwd_call)
+        dx, dwe_r, dwh, dg, db = call(
+            x, pcast_like(_split_we(we, x.dtype), x),
+            pcast_like(gamma.reshape(1, C).astype(jnp.float32), x),
+            pcast_like(beta.reshape(1, C).astype(jnp.float32), x),
+            pcast_like(wh.astype(x.dtype), x), y, welem,
+            pcast_like(scale, x),
         )
         dwe = dwe_r.transpose(1, 0, 2).reshape(C, p * C)
-        return (dx, dwe.astype(we.dtype), dg.reshape(C).astype(gamma.dtype),
-                db.reshape(C).astype(beta.dtype), dwh.astype(wh.dtype), None, None)
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dx, match_vma(dwe.astype(we.dtype), we),
+                match_vma(dg.reshape(C).astype(gamma.dtype), gamma),
+                match_vma(db.reshape(C).astype(beta.dtype), beta),
+                match_vma(dwh.astype(wh.dtype), wh), None, None)
 
     fused.defvjp(fwd_rule, bwd_rule)
     return fused
 
 
 def fused_final_head(x, we, gamma, beta, wh, y, welem, *, patch_size: int,
-                     rblk: int | None = None, interpret: bool = False):
+                     rblk: int | None = None, interpret: bool = False,
+                     axis_names=None):
     """Fused expand+LN+head+CE.  x: (T, C) tokens after norm_up; we: (C, p*C)
     expand kernel (flax layout); gamma/beta: (C,) LN params; wh: (C, F) head
     kernel; y: (T, p) int32 targets; welem: (T, p) f32 per-element loss weights
     (class_weight[y] x optional sample mask).  Returns (loss, confmat (F, F) f32)
     where confmat[t, q] counts pixels with target t and argmax-pred q over ALL
     elements (the welem weighting applies to the loss only) — equal to the
-    confusion matrix of argmax over the unfused (T*p, F) logits."""
+    confusion matrix of argmax over the unfused (T*p, F) logits.
+
+    ``axis_names``: mesh axes for sharded execution inside ``shard_map``
+    (training/trainer.py shard_map steps): x/y/welem are this device's shard, the
+    returned loss is the psum'd GLOBAL weighted mean (gradients handle the psum'd
+    denominator exactly), and the returned confmat stays shard-local (callers psum
+    metric increments — see parallel/sequence.py psum_tree)."""
     T, C = x.shape
     F = wh.shape[-1]
     p = patch_size
@@ -334,6 +459,7 @@ def fused_final_head(x, we, gamma, beta, wh, y, welem, *, patch_size: int,
         rblk = pick_rblk(T, C, p)
     if rblk is None:
         raise ValueError(f"fused_final_head: no supported row block for T={T}")
-    fn = _make_fused(T, C, F, p, rblk, str(x.dtype), interpret)
+    axes = tuple(axis_names) if axis_names is not None else None
+    fn = _make_fused(T, C, F, p, rblk, str(x.dtype), interpret, axes)
     return fn(x, we, gamma, beta, wh, jnp.asarray(y, jnp.int32),
               jnp.asarray(welem, jnp.float32))

@@ -14,6 +14,21 @@ from __future__ import annotations
 import jax
 
 
+def pcast_like(a, ref):
+    """Promote ``a`` to vary over the manual mesh axes ``ref`` varies over
+    (``lax.pcast``).  Needed when a replicated operand (weights, scalars) feeds a
+    ``pallas_call`` next to sharded operands AND the call may run in INTERPRET
+    mode: the interpreted kernel body executes as plain jax ops under shard_map's
+    vma typing, which requires e.g. dot_general operands to agree.  On compiled
+    TPU pallas the kernel body is opaque (mixed-vma inputs are fine) and the cast
+    is type-only; outside shard_map this is a no-op."""
+    extra = tuple(
+        ax for ax in getattr(jax.typeof(ref), "vma", frozenset())
+        if ax not in getattr(jax.typeof(a), "vma", frozenset())
+    )
+    return jax.lax.pcast(a, extra, to="varying") if extra else a
+
+
 def with_vma(structs, ref):
     """Return ``structs`` (one ShapeDtypeStruct or a list) stamped with the varying
     manual axes of the ``ref`` operand."""

@@ -164,3 +164,146 @@ def test_task_fused_path_matches_plain(monkeypatch):
     assert out_p.keys() == out_f.keys()
     for k in out_p:
         assert out_p[k] == pytest.approx(out_f[k], abs=1e-6), k
+
+
+def test_fused_head_sharded_matches_unsharded():
+    """fused_final_head(axis_names=...) inside shard_map with the token rows
+    sharded over a mesh axis == the unsharded kernel: exact global weighted-mean
+    loss (psum'd num/den — NOT a mean of shard means), psum'd confusion matrix,
+    and gradients (weight cotangents arrive globally reduced via match_vma; a
+    shard-local denominator or a double psum fails this)."""
+    from jax.sharding import Mesh, PartitionSpec as Pt
+
+    rng = np.random.default_rng(7)
+    Tg, sp = 1024, 4
+    x = jnp.asarray(rng.normal(size=(Tg, C)), jnp.float32)
+    we = jnp.asarray(rng.normal(size=(C, P * C)) * 0.05, jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(C, F)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1 + 1.0)
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    y = jnp.asarray(rng.integers(0, F, size=(Tg, P)), jnp.int32)
+    # non-uniform weights, deliberately unbalanced ACROSS shards: a mean-of-means
+    # instead of sum/sum shows up immediately
+    w = jnp.asarray(rng.uniform(0.1, 3.0, size=(Tg, P)), jnp.float32)
+
+    def ref_loss(x, we, g, b, wh):
+        loss, cm = fh.fused_final_head(x, we, g, b, wh, y, w, patch_size=P,
+                                       interpret=True, rblk=128)
+        return loss, cm
+
+    (loss_ref, cm_ref), grads_ref = jax.value_and_grad(
+        ref_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+    )(x, we, g, b, wh)
+
+    mesh = Mesh(np.asarray(jax.devices()[:sp]), ("seq",))
+
+    def body(x, we, g, b, wh, y, w):
+        def lf(x, we, g, b, wh):
+            loss, cm = fh.fused_final_head(
+                x, we, g, b, wh, y, w, patch_size=P, interpret=True, rblk=128,
+                axis_names=("seq",),
+            )
+            return loss, jax.lax.psum(cm, "seq")
+
+        return jax.value_and_grad(lf, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            x, we, g, b, wh
+        )
+
+    (loss_s, cm_s), grads_s = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(Pt("seq"), Pt(), Pt(), Pt(), Pt(), Pt("seq"), Pt("seq")),
+            out_specs=((Pt(), Pt()), (Pt("seq"), Pt(), Pt(), Pt(), Pt())),
+            check_vma=True,
+        )
+    )(x, we, g, b, wh, y, w)
+
+    assert abs(float(loss_s) - float(loss_ref)) < 1e-6 * max(1.0, abs(float(loss_ref)))
+    np.testing.assert_array_equal(np.asarray(cm_s), np.asarray(cm_ref))
+    for name, a, bb in zip(["dx", "dwe", "dg", "db", "dwh"], grads_ref, grads_s):
+        d = float(jnp.max(jnp.abs(a - bb)))
+        s = float(jnp.max(jnp.abs(a))) + 1e-12
+        assert d / s < 2e-5, (name, d / s)
+
+
+def test_task_fused_path_sharded_matches_plain(monkeypatch):
+    """The segmentation task's fused tail under a (data, seq) shard_map — the
+    multi-chip trainer step path — produces the same loss/gradients/metrics as the
+    plain unsharded path (loss_fn(axis_names=..., seq=...), ops/final_head.py
+    axis_names plumbing)."""
+    monkeypatch.setenv("HEAL_SWIN_FH_INTERPRET", "1")
+    import dataclasses
+
+    from jax.sharding import Mesh, PartitionSpec as Pt
+
+    from heal_swin_tpu.data.data_spec import DataSpec
+    from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig
+    from heal_swin_tpu.models.tasks import (
+        WoodscapeSegmenterSwinHP,
+        WoodscapeSegmenterSwinHPConfig,
+    )
+
+    nside = 16
+    npix = 8 * nside * nside  # 2048 pixels -> 512 tokens; 256/shard at sp=2
+    cfg = SwinHPTransformerConfig(
+        patch_size=4, window_size=16, shift_size=8, shift_strategy="ring_shift",
+        embed_dim=8, depths=[2, 1], num_heads=[2, 2], drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0, fused_final_head=True,
+    )
+    spec = DataSpec(dim_in=npix, f_in=3, f_out=5, base_pix=8)
+    weights = [1.0, 2.0, 0.5, 1.0, 1.0]
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.normal(size=(2, npix, 3)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 5, size=(2, npix)), jnp.int32)
+
+    task = WoodscapeSegmenterSwinHP(
+        WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=cfg,
+                                       class_weights=weights),
+        spec,
+    )
+    params = jax.jit(task.init_variables)(jax.random.PRNGKey(0), imgs[:1])
+    # gate accounts for the per-shard token count (512 tokens -> 256/shard at sp=2)
+    assert task._fused_tail_ok(None, ("seq", 2))
+
+    def plain(p):
+        loss, cm = task.loss_fn(p, imgs, targets, deterministic=True)
+        return loss, cm
+
+    (loss_ref, cm_ref), grads_ref = jax.value_and_grad(plain, has_aux=True)(params)
+
+    dp, sp = 2, 2
+    mesh = Mesh(np.asarray(jax.devices()[: dp * sp]).reshape(dp, sp),
+                ("data", "seq"))
+    axes = ("data", "seq")
+
+    def body(p, imgs, targets):
+        from heal_swin_tpu.parallel.sequence import seq_local_slice
+
+        imgs = seq_local_slice(imgs, "seq", sp, axis=1)
+        targets = seq_local_slice(targets, "seq", sp, axis=1)
+
+        def lf(p):
+            return task.loss_fn(
+                p, imgs, targets, deterministic=True, axis_names=axes,
+                seq=("seq", sp),
+            )
+
+        (loss, cm), grads = jax.value_and_grad(lf, has_aux=True)(p)
+        return loss, jax.lax.psum(cm, axes), grads
+
+    loss_s, cm_s, grads_s = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(Pt(), Pt("data"), Pt("data")),
+            out_specs=(Pt(), Pt(), Pt()), check_vma=True,
+        )
+    )(params, imgs, targets)
+
+    assert abs(float(loss_s) - float(loss_ref)) < 2e-6 * max(1.0, abs(float(loss_ref)))
+    np.testing.assert_array_equal(np.asarray(cm_s), np.asarray(cm_ref))
+    flat_r, td = jax.tree_util.tree_flatten_with_path(grads_ref)
+    flat_s, _ = jax.tree_util.tree_flatten(grads_s)
+    for (path, a), b in zip(flat_r, flat_s):
+        d = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert d / max(s, 1e-6) < 5e-4, (jax.tree_util.keystr(path), d, s)
