@@ -38,6 +38,9 @@ def make_data_mesh(n_devices: Optional[int] = None,
     ``seq_parallel > 1``: a 2-D ``(data, seq)`` mesh — the token axis of the
     HEALPix sequence shards over the trailing (fastest-varying, i.e. closest-on-ICI)
     ``seq_parallel`` devices of each data-parallel group (see parallel/sequence.py).
+    Multi-host: ``jax.devices()`` is process-major, so the trailing ``seq`` axis
+    stays host-local (sequence all-gathers ride ICI, the batch axis crosses DCN)
+    iff ``seq_parallel`` divides the per-host device count.
     """
     if devices is None:
         devices = jax.devices()
@@ -49,6 +52,12 @@ def make_data_mesh(n_devices: Optional[int] = None,
     assert devices.size % seq_parallel == 0, (
         f"{devices.size} devices not divisible by seq_parallel_devices={seq_parallel}"
     )
+    if jax.process_count() > 1:
+        assert jax.local_device_count() % seq_parallel == 0, (
+            f"seq_parallel_devices={seq_parallel} must divide the per-host device "
+            f"count {jax.local_device_count()}: sequence groups must ride one "
+            "host's ICI, not DCN"
+        )
     return Mesh(devices.reshape(-1, seq_parallel), (DATA_AXIS, SEQ_AXIS))
 
 

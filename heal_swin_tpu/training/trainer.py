@@ -87,10 +87,18 @@ class Trainer:
         self.batch_sharding = batch_sharded(self.mesh)
         self.n_processes = jax.process_count()
         self.is_global_zero = jax.process_index() == 0
-        if self.sp > 1:
-            assert self.n_processes == 1, (
-                "seq_parallel_devices > 1 is single-process (ICI) for now; combine "
-                "with multi-host data parallelism once sp-aware batch slicing lands"
+        if self.sp > 1 and self.n_processes > 1:
+            # DCN data parallelism composes with ICI sequence parallelism as long
+            # as each sequence group stays on ONE host: the mesh layout is
+            # process-major (parallel/__init__.py), so the trailing 'seq' axis is
+            # host-local iff sp divides the per-host device count.  Batch slicing
+            # is then unchanged — each host ships its data-groups' rows and the
+            # 'seq' replication happens host-locally in make_array_from_
+            # process_local_data.
+            n_local = jax.local_device_count()
+            assert n_local % self.sp == 0, (
+                f"seq_parallel_devices={self.sp} must divide the {n_local} local "
+                "devices so each sequence group rides one host's ICI"
             )
         # shard_map instead of jit+GSPMD: required for sequence parallelism, and
         # preferred on multi-chip TPU (the Pallas kernels then always see per-shard

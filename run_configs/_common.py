@@ -57,7 +57,7 @@ def paper_swin_flat_config():
 
 
 def hp_seg_train_run(version, expmt, class_weights, training_data_fraction=1.0,
-                     data_fraction_seed=42):
+                     data_fraction_seed=42, nside=256, batch_size=2):
     from heal_swin_tpu.data.data_config import WoodscapeCommonConfig, WoodscapeHPConfig
     from heal_swin_tpu.models.tasks import WoodscapeSegmenterSwinHPConfig
     from heal_swin_tpu.training.optimizer import OptimizerConfig
@@ -70,12 +70,13 @@ def hp_seg_train_run(version, expmt, class_weights, training_data_fraction=1.0,
         ),
         data=WoodscapeHPConfig(
             common=WoodscapeCommonConfig(
-                version=version, batch_size=2, val_batch_size=4, pred_batch_size=4,
+                version=version, batch_size=batch_size, val_batch_size=4,
+                pred_batch_size=4,
                 train_worker=5, val_worker=5,
                 training_data_fraction=training_data_fraction,
                 data_fraction_seed=data_fraction_seed,
             ),
-            input_nside=256,
+            input_nside=nside,
             input_base_pix=8,
         ),
         model=WoodscapeSegmenterSwinHPConfig(

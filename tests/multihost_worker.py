@@ -58,6 +58,7 @@ def tiny_run_config(max_epochs):
     pl_config = PLConfig(
         max_epochs=max_epochs, log_every_n_steps=1, num_sanity_val_steps=0,
         check_val_every_n_epoch=1,
+        seq_parallel_devices=int(os.environ.get("HEAL_SWIN_TEST_SP", "1")),
     )
     return run_config, pl_config
 
