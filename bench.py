@@ -189,6 +189,37 @@ def main():
     print(f"init: {time.time()-t0:.1f}s, params="
           f"{sum(p.size for p in jax.tree.leaves(params)):,}", file=sys.stderr)
 
+    if os.environ.get("BENCH_MODE") == "infer":
+        # serving path: jitted forward + argmax (task.predict shape), timed as a
+        # lax.scan chain (per-call dispatch through the tunnel is ~9 ms, so
+        # serial-dependency chaining is the only honest timing — CLAUDE.md)
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def infer_n(params, x, n):
+            def body(tick, _):
+                preds = jnp.argmax(model.apply(params, x + 0.0 * tick, True), -1)
+                return preds[0, 0].astype(jnp.float32), None
+
+            tick, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return tick
+
+        t0 = time.time()
+        _ = float(infer_n(params, x, steps))  # same static length as the timed call
+        print(f"infer compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        _ = float(infer_n(params, x, steps))
+        dt = time.time() - t0
+        images_per_sec = batch * steps / dt
+        print(f"{steps} inference steps in {dt:.2f}s", file=sys.stderr)
+        print(json.dumps({
+            "metric": "heal_swin_unet_infer_images_per_sec_per_chip",
+            "value": round(images_per_sec, 3),
+            "unit": f"images/sec/chip forward+argmax (nside={nside}, batch {batch}, bf16)",
+            "vs_baseline": round(images_per_sec / 10.0, 3),  # ~4x the 2.5 train est.
+        }))
+        return
+
     tx = optax.adam(9.55e-4)
     opt_state = jax.jit(tx.init)(params)
 

@@ -242,8 +242,10 @@ class Trainer:
             np.random.seed(tc.seed)
         rng = jax.random.PRNGKey(tc.seed if tc.seed is not None else 0)
 
-        if self.sp > 1:
-            raise NotImplementedError("auto_lr_find with seq_parallel_devices > 1")
+        # under sequence parallelism this jit/GSPMD sweep simply REPLICATES the
+        # computation over the 'seq' axis (params and per-data-shard batches are
+        # invariant along it) — numerically identical to the dp-only sweep and
+        # fine for a short tuning pass; the real training steps use shard_map
         loader = datamodule.train_dataloader()
         loader.batch_size = loader.batch_size * self.dp
         loader.drop_last = True

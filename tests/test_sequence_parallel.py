@@ -260,3 +260,20 @@ def test_sp_depth_train_smoke(tmp_path):
     result = trainer.fit(task, dm)
     assert np.isfinite(result.last_metrics["train_loss"])
     assert np.isfinite(result.last_metrics["val_mse"])
+
+
+def test_forced_shmap_fused_tail_matches_plain(tmp_path, monkeypatch):
+    """Trainer fit under HEAL_SWIN_FORCE_SHMAP with the fused decoder tail ACTIVE
+    (HEAL_SWIN_FH_INTERPRET=1; dp=4 x sp=2 mesh) == the plain 1-device jit path:
+    the kernel's psum'd CE num/den and its shard-local confusion-matrix metric
+    increments wire correctly through the real train/eval steps.  Tolerances are
+    the fused-vs-plain kernel noise (f32-close, not bit-equal), not sharding
+    noise."""
+    losses_1, vloss_1, viou_1, _ = _train(tmp_path, 1, 1, global_batch=8)
+    monkeypatch.setenv("HEAL_SWIN_FORCE_SHMAP", "1")
+    monkeypatch.setenv("HEAL_SWIN_FH_INTERPRET", "1")
+    losses_s, vloss_s, viou_s, _ = _train(tmp_path, 8, 2, global_batch=8)
+    assert len(losses_1) == len(losses_s) == 2
+    np.testing.assert_allclose(losses_1, losses_s, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(vloss_1, vloss_s, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(viou_1, viou_s, rtol=0.05, atol=0.01)

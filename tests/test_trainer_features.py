@@ -104,6 +104,28 @@ def test_lr_find_range_test(tmp_path):
     assert all(b > a for a, b in zip(lrs, lrs[1:]))
 
 
+def test_lr_find_under_seq_parallel(tmp_path):
+    """lr_find on a (data=4, seq=2) mesh: the jit sweep replicates over 'seq' and
+    must match the dp-only sweep's losses exactly (same global batches, same rng)."""
+    run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+    store = MlflowFileStore(tmp_path / "mlruns")
+
+    def sweep(gpus, sp):
+        pl = PLConfig(max_epochs=1, num_sanity_val_steps=0, log_every_n_steps=1,
+                      gpus=gpus, seq_parallel_devices=sp)
+        trainer = Trainer(pl, run_config.train, run=store.create_run("lr"),
+                          ckpt_dir=None)
+        return trainer.lr_find(task, dm, min_lr=1e-6, max_lr=1e-1, num_training=8)
+
+    sug_dp, lrs_dp, losses_dp = sweep(gpus=4, sp=1)
+    sug_sp, lrs_sp, losses_sp = sweep(gpus=8, sp=2)
+    np.testing.assert_allclose(losses_sp, losses_dp, rtol=1e-5, atol=1e-7)
+    assert lrs_sp == lrs_dp
+
+
 def test_grad_accumulation_matches_bigger_batch(tmp_path):
     """accumulate_grad_batches=2 @ batch 2 must equal one optimizer step @ batch 4
     (optax.MultiSteps averages the micro-batch gradients; losses are batch means)."""
