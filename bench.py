@@ -13,7 +13,7 @@ train_time_per_sample ~400 ms — derived from the model's ~2 TFLOP/image forwar
 at the ~15-25% fp32 utilization typical of this unfused windowed-attention workload).
 vs_baseline = our_images_per_sec_per_chip / 2.5.
 
-Env knobs: BENCH_NSIDE (default 256), BENCH_BATCH (default 2), BENCH_STEPS (default 10),
+Env knobs: BENCH_NSIDE (default 256), BENCH_BATCH (default 2), BENCH_STEPS (default 20),
 BENCH_FUSED=0 to disable the fused decoder-tail kernel (default on, as in training),
 BENCH_METRICS=1 to include per-step train-metric accumulation in the step (the real
 training-step shape; the fused tail then gets its confusion matrix for free).
@@ -146,7 +146,7 @@ def main():
 
     nside = int(os.environ.get("BENCH_NSIDE", 256))
     batch = int(os.environ.get("BENCH_BATCH", 2))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
     which = os.environ.get("BENCH_MODEL", "swin_hp")  # "swin_hp" | "swin"
     npix = 8 * nside * nside
     n_classes = 10
@@ -190,15 +190,30 @@ def main():
           f"{sum(p.size for p in jax.tree.leaves(params)):,}", file=sys.stderr)
 
     if os.environ.get("BENCH_MODE") == "infer":
-        # serving path: jitted forward + argmax (task.predict shape), timed as a
-        # lax.scan chain (per-call dispatch through the tunnel is ~9 ms, so
-        # serial-dependency chaining is the only honest timing — CLAUDE.md)
+        # serving path: jitted forward + argmax (task.predict — the fused
+        # decoder-tail predict kernel when enabled), timed as a lax.scan chain
+        # (per-call dispatch through the tunnel is ~9 ms, so serial-dependency
+        # chaining is the only honest timing — CLAUDE.md)
         import functools
+
+        predict = lambda p, x: jnp.argmax(model.apply(p, x, True), -1)  # noqa: E731
+        if which == "swin_hp":
+            from heal_swin_tpu.models.tasks import (
+                WoodscapeSegmenterSwinHP, WoodscapeSegmenterSwinHPConfig,
+            )
+
+            task = WoodscapeSegmenterSwinHP(
+                WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=cfg), spec
+            )
+            task.model = model
+            print(f"infer: fused predict tail = {task._fused_tail_ok(None)}",
+                  file=sys.stderr)
+            predict = task.predict
 
         @functools.partial(jax.jit, static_argnums=2)
         def infer_n(params, x, n):
             def body(tick, _):
-                preds = jnp.argmax(model.apply(params, x + 0.0 * tick, True), -1)
+                preds = predict(params, x + 0.0 * tick)
                 return preds[0, 0].astype(jnp.float32), None
 
             tick, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)

@@ -156,6 +156,24 @@ class _SegmenterBase:
         return loss, logits
 
     def predict(self, params, imgs):
+        if self._fused_tail_ok(None):
+            # serving path: argmax straight out of the fused decoder-tail kernel
+            # (no (B*npix, F) logits round-trip through HBM)
+            from heal_swin_tpu.ops import final_head as fh
+
+            cfg = self.config.swin_hp_transformer_config
+            feats = self.model.apply(params, jnp.asarray(imgs), True, False)
+            B, N, C = feats.shape
+            pp = params["params"]["decoder"]
+            preds = fh.fused_final_head_predict(
+                feats.reshape(B * N, C),
+                pp["up"]["expand"]["kernel"],
+                pp["up"]["norm"]["ln"]["scale"],
+                pp["up"]["norm"]["ln"]["bias"],
+                pp["output"]["kernel"],
+                patch_size=cfg.patch_size, interpret=self._fh_interpret(),
+            )
+            return preds.reshape(B, N * cfg.patch_size)
         logits = self.model.apply(params, jnp.asarray(imgs), True)
         return jnp.argmax(logits, axis=-1)
 

@@ -143,6 +143,62 @@ def _fwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref,
     cm_ref[...] = cm_ref[...] + cm
 
 
+def _pred_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, preds_ref, *, p, C, F):
+    """Inference tail: argmax class indices straight out of the kernel (no logits
+    materialization).  Same math as _fwd_kernel minus the CE/confmat."""
+    x = x_ref[...]
+    gamma = g_ref[...]
+    beta = b_ref[...]
+    wh = wh_ref[...]
+    for i in range(p):
+        h = jax.lax.dot_general(
+            x, we_ref[i], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        z, _, _ = _ln_rows(h.astype(jnp.float32), gamma, beta)
+        z = z.astype(x.dtype)
+        lf = jax.lax.dot_general(
+            z, wh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mx = jnp.max(lf, axis=-1, keepdims=True)
+        lane_f = jax.lax.broadcasted_iota(jnp.int32, lf.shape, 1).astype(jnp.float32)
+        pred = jnp.min(
+            jnp.where(lf >= mx, lane_f, jnp.float32(F)), axis=-1, keepdims=True
+        )
+        preds_ref[:, i:i + 1] = pred.astype(jnp.int32)
+
+
+def fused_final_head_predict(x, we, gamma, beta, wh, *, patch_size: int,
+                             rblk: int | None = None, interpret: bool = False):
+    """Inference decoder tail: FinalPatchExpand -> LN -> head -> argmax as one
+    kernel.  x: (T, C); returns (T, p) int32 class indices, equal to
+    argmax(reference logits) with lowest-index tie-break (the fused train path's
+    prediction convention, _slice_ce).  Serving path: skips the (T*p, F) f32
+    logits round-trip through HBM entirely."""
+    T, C = x.shape
+    F = wh.shape[-1]
+    p = patch_size
+    if rblk is None:
+        rblk = pick_rblk(T, C, p)
+    if rblk is None:
+        raise ValueError(f"fused_final_head_predict: no supported row block for T={T}")
+    we_s = we.reshape(C, p, C).transpose(1, 0, 2).astype(x.dtype)
+    return pl.pallas_call(
+        functools.partial(_pred_kernel, p=p, C=C, F=F),
+        grid=(T // rblk,),
+        in_specs=[
+            pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, p), jnp.int32),
+        interpret=interpret,
+    )(x, we_s, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32), wh.astype(x.dtype))
+
+
 def _bwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref, scale_ref,
                 dx_ref, dwe_ref, dwh_ref, dg_ref, db_ref, *, p, C, F):
     @pl.when(pl.program_id(0) == 0)

@@ -307,3 +307,43 @@ def test_task_fused_path_sharded_matches_plain(monkeypatch):
         d = float(jnp.max(jnp.abs(a - b)))
         s = float(jnp.max(jnp.abs(a))) + 1e-9
         assert d / max(s, 1e-6) < 5e-4, (jax.tree_util.keystr(path), d, s)
+
+
+def test_fused_predict_matches_argmax(monkeypatch):
+    """The fused inference tail (fused_final_head_predict wired into
+    task.predict) == argmax over the plain path's logits, bit-exact on CPU f32."""
+    monkeypatch.setenv("HEAL_SWIN_FH_INTERPRET", "1")
+    import dataclasses
+
+    from heal_swin_tpu.data.data_spec import DataSpec
+    from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig
+    from heal_swin_tpu.models.tasks import (
+        WoodscapeSegmenterSwinHP,
+        WoodscapeSegmenterSwinHPConfig,
+    )
+
+    nside = 8
+    npix = 8 * nside * nside
+    cfg = SwinHPTransformerConfig(
+        patch_size=4, window_size=16, shift_size=8, shift_strategy="ring_shift",
+        embed_dim=8, depths=[2, 1], num_heads=[2, 2], drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0,
+    )
+    spec = DataSpec(dim_in=npix, f_in=3, f_out=5, base_pix=8)
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.normal(size=(2, npix, 3)), jnp.float32)
+
+    def build(fused):
+        c = dataclasses.replace(cfg, fused_final_head=fused)
+        task = WoodscapeSegmenterSwinHP(
+            WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=c), spec
+        )
+        params = jax.jit(task.init_variables)(jax.random.PRNGKey(0), imgs[:1])
+        return task, params
+
+    task_p, params = build(False)
+    task_f, _ = build(True)
+    preds_p = np.asarray(jax.jit(task_p.predict)(params, imgs))
+    preds_f = np.asarray(jax.jit(task_f.predict)(params, imgs))
+    assert preds_f.shape == (2, npix) and preds_f.dtype == np.int32
+    np.testing.assert_array_equal(preds_f, preds_p)
