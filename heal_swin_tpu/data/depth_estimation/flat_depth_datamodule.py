@@ -61,6 +61,11 @@ class WoodscapeDepthImagesPredictDataset:
     def __len__(self):
         return len(self.cal_dataset)
 
+    @property
+    def names(self):
+        """Sample names by index (writers resolve ranked names in O(1))."""
+        return self.cal_dataset.names
+
     def __getitem__(self, idx):
         transf_img, transf_mask = self.transf_dataset[idx]
         img, mask, cal_info, name = self.cal_dataset[idx]

@@ -151,6 +151,11 @@ class WoodscapeHPDepthImagesPredictDataset:
     def __len__(self):
         return len(self.hp_imgs_masks_dataset)
 
+    @property
+    def names(self):
+        """Sample names by index (writers resolve ranked names in O(1))."""
+        return self.hp_imgs_masks_dataset.names
+
     def __getitem__(self, idx):
         hp_img_cl, hp_mask = self.hp_imgs_masks_dataset[idx]
         hp_name = self.hp_imgs_masks_dataset.names[idx]

@@ -222,6 +222,17 @@ def _rank_top_bottom(metric_values, names, sort_dir, top_k):
 
 
 def _find_sample(pred_dataset, name):
+    """Sample dict by name.  Predict datasets expose a ``names`` list, so the
+    lookup is one index (materializing a sample decodes images and projects to
+    HEALPix — a linear scan per ranked name made the best/worst writers quadratic
+    in the dataset).  Duck-typed fixtures without ``names`` fall back to the
+    scan."""
+    names = getattr(pred_dataset, "names", None)
+    if names is not None:
+        try:
+            return pred_dataset[list(names).index(name)]
+        except ValueError:
+            return None
     for si in range(len(pred_dataset)):
         s = pred_dataset[si]
         if s["names"] == name:

@@ -136,7 +136,11 @@ class DropPath(nn.Module):
         # scalars are NOT weak-typed — `x / np.float64` silently promoted the whole
         # training-time residual stream to f32 (2x HBM on every downstream op)
         keep = float(1.0 - self.rate)
-        rng = self.make_rng("dropout")
+        # sequence-parallel runs pass a separate 'drop_path' stream: the per-SAMPLE
+        # mask must agree across the token shards of one sample, while element
+        # dropout must NOT (parallel/sequence.py; tasks.loss_fn derives the keys)
+        stream = "drop_path" if self.has_rng("drop_path") else "dropout"
+        rng = self.make_rng(stream)
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))

@@ -38,6 +38,24 @@ class CommonDepthConfig:
     huber_delta: float = 1.0
 
 
+def _task_rngs(rng, seq):
+    """Training rng streams for ``model.apply``.  Under sequence parallelism the
+    element-dropout key folds in this shard's 'seq' index — otherwise every token
+    shard of a sample draws the SAME mask over its local block and dropout becomes
+    spatially periodic with period npix/n_shards instead of iid.  The 'drop_path'
+    stream keeps the base key: DropPath's per-sample mask must agree across the
+    token shards of one sample (models/layers.py DropPath).  Unsharded: one
+    'dropout' stream, exactly as before."""
+    if rng is None:
+        return None
+    if seq is None or seq[1] <= 1:
+        return {"dropout": rng}
+    return {
+        "dropout": jax.random.fold_in(rng, jax.lax.axis_index(seq[0])),
+        "drop_path": rng,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Segmentation
 # ---------------------------------------------------------------------------
@@ -123,7 +141,7 @@ class _SegmenterBase:
         The fused decoder-tail kernel runs in the sharded case too (the tail is
         token-local): it psums its own num/den and emits the SHARD-local confusion
         matrix, which the trainer's psum'd metric increments make global."""
-        rngs = {"dropout": rng} if rng is not None else None
+        rngs = _task_rngs(rng, seq)
         if self._fused_tail_ok(sample_mask, seq):
             from heal_swin_tpu.ops import final_head as fh
 
@@ -299,7 +317,7 @@ class _DepthBase:
         space with non-finite background markers, exactly as in the reference
         (model_lightning_depth_swin_hp.py:132-143); the loss runs in that space.
         ``axis_names``/``seq``: sharded execution — see _SegmenterBase.loss_fn."""
-        rngs = {"dropout": rng} if rng is not None else None
+        rngs = _task_rngs(rng, seq)
         out = self.model.apply(params, imgs, deterministic, rngs=rngs, seq=seq)
         t = targets
         if sample_mask is not None:

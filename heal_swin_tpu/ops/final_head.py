@@ -132,8 +132,11 @@ def _fwd_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, y_ref, w_ref,
         den += jnp.sum(wi)
         # confusion-matrix contribution via a combined-index one-hot + sublane
         # reduce — a dim-0 (F, F) contraction would force a transpose relayout of
-        # the narrow operands (~5 ms/step measured); this is 3 cheap VPU passes
+        # the narrow operands (~5 ms/step measured); this is 3 cheap VPU passes.
+        # All-NaN logit rows give pred_idx == F (NaN comparisons are false); route
+        # them to -1 (matches no lane) instead of aliasing into (y+1, class 0)
         comb = yi.astype(jnp.float32) * F + pred_idx  # (rblk, 1) in [0, F*F), exact f32
+        comb = jnp.where(pred_idx >= F, jnp.float32(-1.0), comb)
         lane2 = jax.lax.broadcasted_iota(
             jnp.int32, (x.shape[0], F * F), 1
         ).astype(jnp.float32)
@@ -164,6 +167,9 @@ def _pred_kernel(x_ref, we_ref, g_ref, b_ref, wh_ref, preds_ref, *, p, C, F):
         pred = jnp.min(
             jnp.where(lf >= mx, lane_f, jnp.float32(F)), axis=-1, keepdims=True
         )
+        # all-NaN rows give F; clamp into the class range (matches argmax-on-NaN
+        # returning an arbitrary valid index rather than an out-of-range one)
+        pred = jnp.minimum(pred, jnp.float32(F - 1))
         preds_ref[:, i:i + 1] = pred.astype(jnp.int32)
 
 
@@ -284,6 +290,7 @@ def _jnp_fwd(x, we_s, gamma, beta, wh, y, welem, *, p, C, F):
         num += jnp.sum(wi * nll)
         den += jnp.sum(wi)
         comb = yi.astype(jnp.float32) * F + pred_idx
+        comb = jnp.where(pred_idx >= F, jnp.float32(-1.0), comb)
         lane2 = jax.lax.broadcasted_iota(
             jnp.int32, (x.shape[0], F * F), 1
         ).astype(jnp.float32)

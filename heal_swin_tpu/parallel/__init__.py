@@ -92,9 +92,14 @@ def maybe_initialize_distributed(num_nodes: Optional[int] = 1) -> None:
         return
     kwargs = {}
     if explicit:
+        # JAX_NUM_PROCESSES fallback: PLConfig.num_nodes when it names a real
+        # cluster size; a bare coordinator address with the default num_nodes=1
+        # means (at least) 2 processes — never 1, which would make rank 0 form a
+        # single-process "cluster" and strand every other rank's rendezvous
+        fallback = num_nodes if (num_nodes or 0) > 1 else 2
         kwargs = dict(
             coordinator_address=env["JAX_COORDINATOR_ADDRESS"],
-            num_processes=int(env.get("JAX_NUM_PROCESSES", num_nodes or 2)),
+            num_processes=int(env.get("JAX_NUM_PROCESSES", fallback)),
             process_id=int(env["JAX_PROCESS_ID"]),
         )
     jax.distributed.initialize(**kwargs)

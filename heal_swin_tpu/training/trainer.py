@@ -108,8 +108,7 @@ class Trainer:
 
         self._use_shmap = (
             self.sp > 1
-            or (self.n_devices > 1 and jax.default_backend() == "tpu"
-                and self.n_processes == 1)
+            or (self.n_devices > 1 and jax.default_backend() == "tpu")
             or _os.environ.get("HEAL_SWIN_FORCE_SHMAP") == "1"
         )
 

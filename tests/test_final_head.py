@@ -347,3 +347,29 @@ def test_fused_predict_matches_argmax(monkeypatch):
     preds_f = np.asarray(jax.jit(task_f.predict)(params, imgs))
     assert preds_f.shape == (2, npix) and preds_f.dtype == np.int32
     np.testing.assert_array_equal(preds_f, preds_p)
+
+
+def test_fused_head_nan_rows_do_not_alias_confmat(ops):
+    """All-NaN logit rows (diverged step) are DROPPED from the kernel's confusion
+    matrix instead of aliasing into (target+1, class 0) — pre-fix, pred_idx == F
+    made comb = y*F + F land on lane (y+1)*F."""
+    n_bad = 8
+    x = ops["x"].at[:n_bad].set(jnp.nan)
+    loss, cm = fh.fused_final_head(
+        x, ops["we"], ops["g"], ops["b"], ops["wh"], ops["y"], ops["w"],
+        patch_size=P, interpret=True, rblk=128,
+    )
+    assert not np.isfinite(float(loss))  # the loss itself reports the divergence
+    assert float(jnp.sum(cm)) == (T - n_bad) * P
+    ref_loss, ref_cm = fh.reference_final_head(
+        ops["x"][n_bad:], ops["we"], ops["g"], ops["b"], ops["wh"],
+        ops["y"][n_bad:], ops["w"][n_bad:], patch_size=P,
+    )
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
+
+    # predict kernel: NaN rows clamp into the class range (no out-of-range index)
+    preds = fh.fused_final_head_predict(
+        x, ops["we"], ops["g"], ops["b"], ops["wh"], patch_size=P,
+        interpret=True, rblk=128,
+    )
+    assert int(jnp.max(preds)) <= F - 1 and int(jnp.min(preds)) >= 0

@@ -277,3 +277,56 @@ def test_forced_shmap_fused_tail_matches_plain(tmp_path, monkeypatch):
     np.testing.assert_allclose(losses_1, losses_s, rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(vloss_1, vloss_s, rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(viou_1, viou_s, rtol=0.05, atol=0.01)
+
+
+def test_sp_rng_streams():
+    """Element-dropout keys are iid PER TOKEN SHARD while the DropPath stream is
+    shard-invariant (tasks._task_rngs): pre-fix, every 'seq' shard drew the same
+    local mask, making dropout spatially periodic with period npix/n_shards."""
+    from heal_swin_tpu.models.tasks import _task_rngs
+
+    sp = 4
+    mesh = _seq_mesh(sp)
+
+    def body():
+        rngs = _task_rngs(jax.random.PRNGKey(0), ("seq", sp))
+        d = jax.random.key_data(rngs["dropout"]).reshape(1, -1)
+        p = jax.random.key_data(rngs["drop_path"]).reshape(1, -1)
+        return d, jax.lax.psum(p, "seq")
+
+    d, p = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(), out_specs=(P(None, "seq"), P()),
+                      check_vma=True)
+    )()
+    d = np.asarray(d).reshape(sp, -1)
+    assert len({tuple(row) for row in d}) == sp, "dropout keys must differ per shard"
+    base = np.asarray(jax.random.key_data(jax.random.PRNGKey(0))) * sp
+    np.testing.assert_array_equal(np.asarray(p).ravel(), base.ravel())
+
+    # unsharded: single 'dropout' stream, exactly as before
+    rngs = _task_rngs(jax.random.PRNGKey(0), None)
+    assert set(rngs) == {"dropout"}
+
+
+def test_drop_path_prefers_drop_path_stream():
+    """models/layers.DropPath draws from the 'drop_path' stream when provided (the
+    per-sample mask must agree across a sample's token shards) and falls back to
+    'dropout' otherwise."""
+    from heal_swin_tpu.models.layers import DropPath
+
+    m = DropPath(rate=0.5)
+    x = jnp.ones((64, 3, 2))
+    params = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+                    x, False)
+
+    def run(**rngs):
+        return np.asarray(m.apply(params, x, False, rngs=rngs))
+
+    k1, k2, k3 = (jax.random.PRNGKey(i) for i in (1, 2, 3))
+    # same drop_path key, different dropout keys -> same per-sample mask
+    np.testing.assert_array_equal(run(dropout=k1, drop_path=k3),
+                                  run(dropout=k2, drop_path=k3))
+    # different drop_path keys -> different mask (rate 0.5, 64 samples)
+    assert (run(dropout=k1, drop_path=k1) != run(dropout=k1, drop_path=k2)).any()
+    # no drop_path stream -> falls back to 'dropout'
+    assert (run(dropout=k1) != run(dropout=k2)).any()
