@@ -6,7 +6,11 @@ import numpy as np
 
 from heal_swin_tpu.data.depth_estimation import flat_depth_datasets
 from heal_swin_tpu.data.depth_estimation.flat_depth_datasets import apply_depth_mask_pipeline
-from heal_swin_tpu.data.loading import DataLoader, default_collate
+from heal_swin_tpu.data.loading import (
+    DataLoader,
+    default_collate,
+    pred_overfit_indices,
+)
 from heal_swin_tpu.data.segmentation.hp_datamodule import _samples_to_train_share
 
 
@@ -124,6 +128,13 @@ class WoodscapeFlatDepthDataModule:
             n = self.overfit_batches * c.batch_size
             rng = np.random.RandomState(c.seed or 0)
             self.train_indices = rng.permutation(len(self.train_dataset))[:n]
+        # reference get_pred_overfit_sampler: predict ranks/scores ONLY the
+        # overfit samples (matched by name), not the whole train split
+        self.pred_indices = None
+        if self.train_indices is not None:
+            self.pred_indices = pred_overfit_indices(
+                self.train_dataset, self.train_indices, self.pred_dataset
+            )
 
     def train_dataloader(self):
         return DataLoader(
@@ -140,7 +151,7 @@ class WoodscapeFlatDepthDataModule:
     def predict_dataloader(self):
         return DataLoader(
             self.pred_dataset, batch_size=self.common.pred_batch_size, shuffle=False,
-            collate_fn=default_collate,
+            collate_fn=default_collate, indices=self.pred_indices,
         )
 
     def get_img_features(self):

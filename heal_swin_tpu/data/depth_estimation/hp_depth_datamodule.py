@@ -12,7 +12,11 @@ from heal_swin_tpu.data import normalize_depth_data as ndd
 from heal_swin_tpu.data.depth_estimation import flat_depth_datasets
 from heal_swin_tpu.data.depth_estimation.flat_depth_datasets import apply_depth_mask_pipeline
 from heal_swin_tpu.data.depth_estimation.project_depth_on_s2 import hp_depth_dataset_name
-from heal_swin_tpu.data.loading import DataLoader, default_collate
+from heal_swin_tpu.data.loading import (
+    DataLoader,
+    default_collate,
+    pred_overfit_indices,
+)
 from heal_swin_tpu.data.segmentation.hp_datamodule import _samples_to_train_share
 from heal_swin_tpu.data.woodscape_dataset import WoodscapeDataset
 from heal_swin_tpu.ops.healpix import isnsideok
@@ -248,6 +252,13 @@ class WoodscapeHPDepthDataModule:
             n = self.overfit_batches * c.batch_size
             rng = np.random.RandomState(c.seed or 0)
             self.train_indices = rng.permutation(len(self.train_dataset))[:n]
+        # reference get_pred_overfit_sampler: predict ranks/scores ONLY the
+        # overfit samples (matched by name), not the whole train split
+        self.pred_indices = None
+        if self.train_indices is not None:
+            self.pred_indices = pred_overfit_indices(
+                self.train_dataset, self.train_indices, self.pred_dataset
+            )
 
     def train_dataloader(self):
         return DataLoader(
@@ -264,7 +275,7 @@ class WoodscapeHPDepthDataModule:
     def predict_dataloader(self):
         return DataLoader(
             self.pred_dataset, batch_size=self.common.pred_batch_size, shuffle=False,
-            collate_fn=default_collate,
+            collate_fn=default_collate, indices=self.pred_indices,
         )
 
     def _device_project_batch(self, imgs, targets):

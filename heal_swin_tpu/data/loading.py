@@ -33,6 +33,18 @@ def default_collate(samples):
     return np.stack([np.asarray(s) for s in samples])
 
 
+def pred_overfit_indices(train_dataset, train_indices, pred_dataset):
+    """Predict-dataset indices matching the manual-overfit train subset by name
+    (reference hp_datasets.py:297-307 ``get_pred_overfit_sampler``): with
+    ``manual_overfit_batches`` the predict loader must rank/score exactly the
+    overfit samples, not the whole train split."""
+    train_names = list(train_dataset.names)
+    pred_names = list(pred_dataset.names)
+    idcs = [pred_names.index(train_names[int(i)]) for i in train_indices]
+    assert len(idcs) == len(train_indices)
+    return np.asarray(idcs, dtype=np.int64)
+
+
 class DataLoader:
     """Deterministic, seedable batching over a map-style dataset.
 
@@ -96,16 +108,30 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that honors stop: a plain q.put() would park the worker
+            # forever when the consumer abandons the iterator mid-epoch (early
+            # break, exception in the train step) with the queue full — leaking
+            # the thread and prefetch+1 collated batches per abandoned epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def worker():
             try:
                 for chunk in batches:
                     if stop.is_set():
                         return
                     samples = [self.dataset[int(i)] for i in chunk]
-                    q.put(self.collate_fn(samples))
-                q.put(None)
+                    if not put(self.collate_fn(samples)):
+                        return
+                put(None)
             except BaseException as e:  # propagate into consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -10,7 +10,11 @@ import os
 
 import numpy as np
 
-from heal_swin_tpu.data.loading import DataLoader, default_collate
+from heal_swin_tpu.data.loading import (
+    DataLoader,
+    default_collate,
+    pred_overfit_indices,
+)
 from heal_swin_tpu.data.segmentation import flat_datasets
 from heal_swin_tpu.data.segmentation.hp_datamodule import (
     WoodscapeHPSemanticImagesDataset,
@@ -86,6 +90,11 @@ class WoodscapeSemanticImagesPredictDataset:
     def __len__(self):
         return len(self.sem_img_dataset)
 
+    @property
+    def names(self):
+        """Sample names by index (overfit predict subset / writer lookups)."""
+        return self.sem_img_dataset.names
+
     def __getitem__(self, idx):
         transf_img, transf_mask = self.transf_sem_img_dataset[idx]
         img, mask, cal_info, name = self.sem_img_dataset[idx]
@@ -143,6 +152,13 @@ class WoodscapeFlatSegmentationDataModule:
             n = self.overfit_batches * c.batch_size
             rng = np.random.RandomState(c.seed or 0)
             self.train_indices = rng.permutation(len(self.train_dataset))[:n]
+        # reference get_pred_overfit_sampler: predict ranks/scores ONLY the
+        # overfit samples (matched by name), not the whole train split
+        self.pred_indices = None
+        if self.train_indices is not None:
+            self.pred_indices = pred_overfit_indices(
+                self.train_dataset, self.train_indices, self.pred_dataset
+            )
 
     def train_dataloader(self):
         return DataLoader(
@@ -159,7 +175,7 @@ class WoodscapeFlatSegmentationDataModule:
     def predict_dataloader(self):
         return DataLoader(
             self.pred_dataset, batch_size=self.common.pred_batch_size, shuffle=False,
-            collate_fn=default_collate,
+            collate_fn=default_collate, indices=self.pred_indices,
         )
 
     @staticmethod

@@ -189,6 +189,9 @@ class _SyntheticDataModuleBase:
             k = min(len(self.train_indices),
                     self.common.manual_overfit_batches * self.common.batch_size)
             self.train_indices = self.train_indices[rng.permutation(len(self.train_indices))[:k]]
+        # the synthetic predict split mirrors VAL (train names never appear in it),
+        # so the real datamodules' overfit predict subset has no analogue here
+        self.pred_indices = None
 
     def train_dataloader(self):
         return DataLoader(

@@ -248,7 +248,10 @@ class WoodscapeFlatHPMaskedIoUPredictionWriter(WoodscapeFlatPerCalPredictionWrit
                  run=None, **_ignore):
         super().__init__(woodscape_version=woodscape_version, run=run)
         self.f_out = f_out
-        self.prefix = _norm_prefix(prefix)
+        # reference quirk: THIS writer (alone) uses the prefix verbatim — no
+        # trailing-underscore normalization (reference flat_pred_writers.py:273 vs
+        # the `prefix + "_"` of every other writer); metric names are pinned
+        self.prefix = prefix
         self.part = part
         self.metrics = {}
         for cam_pos, lists in self.sample_lists.items():

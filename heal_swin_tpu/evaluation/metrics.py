@@ -163,12 +163,15 @@ def depth_state_update(state, pred, target, dataset_mean: Optional[float] = None
         dm = dataset_mean - t
         out["sq_rel_ref"] = state["sq_rel_ref"] + jnp.sum(jnp.where(valid, dm * dm, 0.0))
         out["abs_rel_ref"] = state["abs_rel_ref"] + jnp.sum(jnp.where(valid, jnp.abs(dm), 0.0))
-    # iRMSE (reference custom_metrics.py:170-205): invert to 1/km FIRST, then filter
-    # non-finite inverses (so zero depths drop out)
-    inv_p = 1.0 / (0.001 * jnp.where(p != 0, p, 1.0))
-    inv_t = 1.0 / (0.001 * jnp.where(t != 0, t, 1.0))
-    inv_valid = valid & (p != 0) & (t != 0) & jnp.isfinite(inv_p) & jnp.isfinite(inv_t)
-    inv_d = inv_p - inv_t
+    # iRMSE (reference custom_metrics.py:170-205): invert to 1/km FIRST on the RAW
+    # values, then keep pairs whose inverses are finite — inf depths (background
+    # markers) invert to 0 and ARE counted, zero depths invert to inf and drop out.
+    # (Filtering on finite DEPTHS instead would exclude the inf-target pixels the
+    # reference includes; pinned against depth_metrics_np.DepthiRMSE.)
+    inv_p = 1.0 / (0.001 * pred)
+    inv_t = 1.0 / (0.001 * target)
+    inv_valid = jnp.isfinite(inv_p) & jnp.isfinite(inv_t)
+    inv_d = jnp.where(inv_valid, inv_p, 0.0) - jnp.where(inv_valid, inv_t, 0.0)
     out["inv_sq_err"] = state["inv_sq_err"] + jnp.sum(jnp.where(inv_valid, inv_d * inv_d, 0.0))
     out["inv_count"] = state.get("inv_count", 0.0) + jnp.sum(inv_valid.astype(jnp.float32))
     # SILog (reference :429-468): d = log(target) - log(pred) over positive pairs;

@@ -41,7 +41,13 @@ def _min_sq_dists(p, q, q_valid, tile: int = TILE):
     def body(carry, qt):
         q_t, v_t = qt
         q_sq = jnp.sum(q_t * q_t, axis=1)  # (tile,)
-        cross = jnp.dot(p, q_t.T, preferred_element_type=jnp.float32)  # (N, tile)
+        # precision=HIGHEST: on TPU a plain f32 dot runs as bf16 MXU passes
+        # (~1e-2 relative); the p_sq + q_sq - 2*cross cancellation amplifies that
+        # into tens of m^2 at ~100 m ranges, corrupting the headline chamfer
+        # metrics vs the reference's exact-f32 CUDA kernel.  preferred_element_type
+        # only sets the ACCUMULATOR type, not the input rounding.
+        cross = jnp.dot(p, q_t.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (N, tile)
         d = p_sq[:, None] + q_sq[None, :] - 2.0 * cross
         d = jnp.where(v_t[None, :], d, jnp.inf)
         return jnp.minimum(carry, jnp.min(d, axis=1)), None

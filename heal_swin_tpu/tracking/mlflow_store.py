@@ -146,10 +146,14 @@ class MlflowFileStore:
         ]
 
     def get_or_create_experiment(self, name: str) -> str:
+        # compare against the YAML-QUOTED form too: names containing ':' / '#' /
+        # ',' etc. are stored single-quoted by _yaml_str, and a raw-only compare
+        # would re-create the experiment on every run
+        wanted = {name, _yaml_str(name)}
         for eid in self._experiment_ids():
             meta = (self.root / eid / "meta.yaml").read_text()
             for line in meta.splitlines():
-                if line.startswith("name:") and line.split(":", 1)[1].strip() == name:
+                if line.startswith("name:") and line.split(":", 1)[1].strip() in wanted:
                     return eid
         ids = [int(e) for e in self._experiment_ids() if e.isdigit()]
         eid = str(max(ids) + 1 if ids else 0)

@@ -71,3 +71,16 @@ def test_masked_iou_eval(tmp_path, monkeypatch):
     run = MlflowFileStore(tmp_path / "mlruns").get_run(run_id)
     assert run.get_metric_history("evaluate_best_val_masked_iou")
     assert run.get_metric_history("evaluate_best_val_masked_iou_ignored")
+
+
+def test_experiment_name_needing_yaml_quoting_is_reused(tmp_path):
+    """Experiment names that _yaml_str single-quotes (':' '#' ',' ...) must be
+    FOUND again by get_or_create_experiment — pre-fix, the raw-vs-quoted compare
+    created a duplicate experiment on every run, breaking run-id resolution."""
+    from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+
+    store = MlflowFileStore(tmp_path / "mlruns")
+    for name in ["seg: paper", "a#b", "plain"]:
+        e1 = store.get_or_create_experiment(name)
+        e2 = store.get_or_create_experiment(name)
+        assert e1 == e2, name

@@ -127,3 +127,45 @@ def test_masked_update_excludes_padded_samples():
     out = dev.seg_state_compute(state, "val_")
     assert out["val_acc"] == pytest.approx(0.5)
     assert out["val_iou_global"] == pytest.approx(sum(IOU_A) / 4)
+
+
+def test_depth_state_matches_np_oracle_with_inf_and_zero_targets():
+    """The jitted streaming depth metrics (evaluation/metrics.py depth_state_*)
+    must match the reference-semantics numpy oracle (depth_metrics_np) on data
+    containing inf targets (background markers — INCLUDED in iRMSE, the inverse
+    is 0) and zero depths (EXCLUDED — infinite inverse).  Pre-fix, the streaming
+    iRMSE filtered on finite depths and dropped every inf-target pixel."""
+    import jax.numpy as jnp
+
+    from heal_swin_tpu.evaluation import depth_metrics_np as dm
+    from heal_swin_tpu.evaluation.metrics import (
+        depth_state_compute,
+        depth_state_init,
+        depth_state_update,
+    )
+
+    rng = np.random.default_rng(0)
+    B, N = 2, 512
+    pred = rng.uniform(1.0, 60.0, size=(B, N)).astype(np.float32)
+    target = rng.uniform(1.0, 60.0, size=(B, N)).astype(np.float32)
+    target[0, :64] = np.inf  # background markers (hp depth datasets use inf)
+    target[1, 10:20] = 0.0  # zero depths drop out of iRMSE/SILog
+    pred[0, 100:104] = 0.0
+
+    state = depth_state_init()
+    state = depth_state_update(state, jnp.asarray(pred), jnp.asarray(target),
+                               dataset_mean=25.0)
+    out = depth_state_compute(state, "val_")
+
+    pred4 = pred[:, None, :]  # oracle layout: (B, channel, ...)
+    oracle = {
+        "val_mse": dm.DepthMSE(),
+        "val_iRMSE": dm.DepthiRMSE(),
+        "val_SILogE": dm.ScaleInvariantLogError(),
+        "val_RelAE": dm.DepthRelAE(total_mean=25.0),
+        "val_RelSE": dm.DepthRelSE(total_mean=25.0),
+    }
+    for mtr in oracle.values():
+        mtr.update(pred4, target)
+    for k, mtr in oracle.items():
+        assert out[k] == pytest.approx(mtr.compute(), rel=1e-5), k

@@ -201,7 +201,9 @@ def test_flat_train_and_projected_eval(env):
         ranking_metric="iou_ignored", sort_dir="asc", run=run,
     )
     trainer.predict(task, dm, params, writer=writer)
-    assert run.get_metric_history("t_val_hp_masked_iou")
+    # reference quirk: THIS writer uses the prefix VERBATIM (no trailing
+    # underscore added, reference flat_pred_writers.py:273) -> 'tval_...'
+    assert run.get_metric_history("tval_hp_masked_iou")
 
 
 def test_project_on_device_matches_npz_pipeline(env):
@@ -264,3 +266,29 @@ def test_project_on_device_train_e2e(env):
     run = store.get_run(run_id)
     assert run.get_metric_history("evaluate_best_val_iou_global")
     assert run.get_metric_history("evaluate_best_val_masked_iou")
+
+
+def test_overfit_predict_loader_covers_exactly_the_overfit_subset(env):
+    """manual_overfit_batches: the predict loader iterates EXACTLY the overfit
+    train samples, matched by name (reference hp_datasets.py:297-307
+    get_pred_overfit_sampler) — pre-fix it iterated the WHOLE train split
+    (pred_samples=-1), making overfit-debug writer metrics wrong and slow."""
+    import dataclasses
+
+    from heal_swin_tpu.data.data import get_data_module
+
+    run_config, _ = _hp_configs()
+    data = dataclasses.replace(
+        run_config.data,
+        common=dataclasses.replace(
+            run_config.data.common, manual_overfit_batches=2, batch_size=2
+        ),
+    )
+    dm, _ = get_data_module(data)
+    assert dm.train_indices is not None and dm.pred_indices is not None
+    want = [dm.train_dataset.names[int(i)] for i in dm.train_indices]
+    assert len(want) == 4
+    got = []
+    for batch in dm.predict_dataloader():
+        got.extend(batch["names"])
+    assert sorted(got) == sorted(want)
