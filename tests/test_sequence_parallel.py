@@ -330,3 +330,53 @@ def test_drop_path_prefers_drop_path_stream():
     assert (run(dropout=k1, drop_path=k1) != run(dropout=k1, drop_path=k2)).any()
     # no drop_path stream -> falls back to 'dropout'
     assert (run(dropout=k1) != run(dropout=k2)).any()
+
+
+def test_sp_depth_gradient_equivalence():
+    """Depth-task gradients from the shard-mapped (dp=2, sp=4) loss == plain
+    global-batch gradients: pins the masked-mean num/den psum in the depth losses
+    (training/losses.py _masked_mean axis_names) the seg test cannot reach."""
+    run_config = get_config_from_config_path(
+        "run_configs/depth_swin_hp_test_run_config.py", "get_train_run_config"
+    )
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+
+    rng = jax.random.PRNGKey(0)
+    loader = dm.train_dataloader()
+    loader.batch_size = 4
+    loader.set_epoch(0)
+    imgs, targets = next(iter(loader))
+    imgs, targets = jnp.asarray(imgs), jnp.asarray(targets)
+    params = jax.jit(task.init_variables)(rng, imgs[:1])
+
+    ref_loss, ref_grads = jax.jit(
+        jax.value_and_grad(lambda p: task.loss_fn(p, imgs, targets)[0])
+    )(params)
+
+    dp, sp = 2, 4
+    mesh = Mesh(np.asarray(jax.devices()[: dp * sp]).reshape(dp, sp), ("data", "seq"))
+    axes = ("data", "seq")
+
+    def grad_body(params, imgs, targets):
+        def lf(p):
+            return task.loss_fn(p, imgs, targets, axis_names=axes, seq=("seq", sp))[0]
+
+        return jax.value_and_grad(lf)(params)
+
+    loss_s, grads_s = jax.jit(
+        jax.shard_map(
+            grad_body, mesh=mesh,
+            in_specs=(P(), P("data", "seq"), P("data", "seq")),
+            out_specs=(P(), P()), check_vma=True,
+        )
+    )(params, imgs, targets)
+
+    np.testing.assert_allclose(float(loss_s), float(ref_loss), rtol=1e-6)
+    flat_r, treedef = jax.tree_util.tree_flatten(ref_grads)
+    flat_s, _ = jax.tree_util.tree_flatten(grads_s)
+    for a, b in zip(flat_r, flat_s):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-5 * max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=tol, err_msg=str(treedef))
