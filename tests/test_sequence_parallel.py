@@ -380,3 +380,49 @@ def test_sp_depth_gradient_equivalence():
         a, b = np.asarray(a), np.asarray(b)
         tol = 1e-5 * max(1.0, float(np.max(np.abs(a))))
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=tol, err_msg=str(treedef))
+
+
+def test_sp_checkpoint_resume_e2e(tmp_path, monkeypatch):
+    """Checkpoint/resume over a (data, seq) mesh: train 1 epoch at dp2 x sp2,
+    resume for a 2nd, and match the straight 2-epoch sp run's losses — the
+    replicated-param snapshot/restore (put_replicated on a 2-D mesh) composes with
+    the sequence-parallel shard_map steps."""
+    monkeypatch.setenv("HEAL_SWIN_MLRUNS", str(tmp_path / "mlruns"))
+
+    from heal_swin_tpu.train import train_model
+    from heal_swin_tpu.resume import main as resume_main
+    from heal_swin_tpu.training.train_config import ResumeConfig
+
+    def cfgs(max_epochs):
+        run_config = get_config_from_config_path(CONFIG, "get_train_run_config")
+        model_cfg = dataclasses.replace(
+            run_config.model,
+            swin_hp_transformer_config=dataclasses.replace(
+                run_config.model.swin_hp_transformer_config, drop_path_rate=0.0
+            ),
+        )
+        run_config = dataclasses.replace(run_config, model=model_cfg)
+        pl = PLConfig(
+            max_epochs=max_epochs, limit_train_batches=1, limit_val_batches=1,
+            num_sanity_val_steps=0, log_every_n_steps=1, gpus=4,
+            seq_parallel_devices=2,
+        )
+        return run_config, pl
+
+    # straight 2-epoch run
+    run_config, pl = cfgs(2)
+    straight_id, _ = train_model(run_config, pl)
+    # 1 epoch + resume for the 2nd
+    run_config, pl = cfgs(1)
+    first_id, _ = train_model(run_config, pl)
+    pl = dataclasses.replace(pl, max_epochs=2)
+    resumed_id, result = resume_main(
+        None, pl, ResumeConfig(path=first_id, epoch="last", train_run_config=run_config)
+    )
+    assert result.epochs_run == 1
+
+    store = MlflowFileStore(tmp_path / "mlruns")
+    straight = [v for _, v, _ in store.get_run(straight_id).get_metric_history("train_loss")]
+    first = [v for _, v, _ in store.get_run(first_id).get_metric_history("train_loss")]
+    resumed = [v for _, v, _ in store.get_run(resumed_id).get_metric_history("train_loss")]
+    np.testing.assert_allclose(first + resumed, straight, rtol=1e-5, atol=1e-7)
