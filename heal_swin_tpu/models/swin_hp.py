@@ -176,21 +176,24 @@ class SwinHPBlock(nn.Module):
         if sp > 1:
             from heal_swin_tpu.parallel.sequence import (
                 seq_local_slice,
-                sharded_permute_tokens,
+                sharded_permute,
             )
 
+            # dispatcher: all-gather + local gather by default, or the boundary
+            # all-to-all exchange (HEAL_SWIN_SEQ_EXCHANGE=all_to_all); perms stay
+            # host numpy so the exchange tables can precompute
             sp_perm = functools.partial(
-                sharded_permute_tokens, axis_name=self.seq_axis, n_shards=sp
+                sharded_permute, axis_name=self.seq_axis, n_shards=sp
             )
         if spec.kind == "roll":
             if sp > 1:
                 fwd, bwd = _roll_perms(N, spec.roll_amount)
-                x = sp_perm(x, jnp.asarray(fwd), jnp.asarray(bwd))
+                x = sp_perm(x, fwd, bwd)
             else:
                 x = jnp.roll(x, -spec.roll_amount, axis=1)
         elif spec.kind == "perm":
             if sp > 1:
-                x = sp_perm(x, jnp.asarray(spec.perm), jnp.asarray(spec.inv_perm))
+                x = sp_perm(x, spec.perm, spec.inv_perm)
             else:
                 x = permute_tokens(x, jnp.asarray(spec.perm), jnp.asarray(spec.inv_perm))
 
@@ -231,12 +234,12 @@ class SwinHPBlock(nn.Module):
         if spec.kind == "roll":
             if sp > 1:
                 fwd, bwd = _roll_perms(N, spec.roll_amount)
-                x = sp_perm(x, jnp.asarray(bwd), jnp.asarray(fwd))
+                x = sp_perm(x, bwd, fwd)
             else:
                 x = jnp.roll(x, spec.roll_amount, axis=1)
         elif spec.kind == "perm":
             if sp > 1:
-                x = sp_perm(x, jnp.asarray(spec.inv_perm), jnp.asarray(spec.perm))
+                x = sp_perm(x, spec.inv_perm, spec.perm)
             else:
                 x = permute_tokens(x, jnp.asarray(spec.inv_perm), jnp.asarray(spec.perm))
 

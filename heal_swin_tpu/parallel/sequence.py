@@ -31,9 +31,12 @@ sequence (or an nside-512, 2M-pixel one) spread over a pod slice.
 
 The all-gather materializes one full-sequence activation transiently (it is not
 saved for the backward — the VJP re-gathers), so the steady-state memory win is the
-full 1/n_shards on residuals.  An all-to-all exchange with per-shard-pair index
-tables would cut the transient bandwidth ~n_shards-fold; measured on real multi-chip
-hardware first (this dev environment exposes a single chip).
+full 1/n_shards on residuals.  The HEALPix shift permutations are nearly shard-local
+(3-6% of rows cross a boundary at paper scale), so a boundary all-to-all exchange
+(``sharded_permute_tokens_a2a``, HEAL_SWIN_SEQ_EXCHANGE=all_to_all) is implemented
+as an opt-in that moves ~16-30x fewer bytes; the all-gather stays the default until
+the exchange is measured on real multi-chip hardware (this dev environment exposes
+a single chip — equivalence is pinned on the CPU mesh).
 """
 
 from __future__ import annotations
@@ -148,3 +151,121 @@ def _permute_bwd(axis_name, n_shards, res, g):
 
 
 sharded_permute_tokens.defvjp(_permute_fwd, _permute_bwd)
+
+
+# --------------------------------------------------------------------------- a2a
+# Boundary all-to-all exchange: the HEALPix shift permutations are nearly
+# shard-local — at paper scale only 3.0-6.2% of rows cross a shard boundary
+# (ring_shift sp=2..8; 0.01% for nest_roll) — so instead of all-gathering the
+# full sequence, each shard sends ONLY the rows its peers need (padded to the
+# max pair count L) through one lax.all_to_all, then assembles its output from
+# [local rows ; received rows] with a single precomputed gather.  ~16-30x less
+# ICI traffic than the all-gather at equal math.  Opt-in via
+# HEAL_SWIN_SEQ_EXCHANGE=all_to_all until measured on real multi-chip hardware
+# (this dev environment exposes one chip; equivalence is pinned on the CPU mesh).
+
+_A2A_TABLE_CACHE: dict = {}
+
+
+def _a2a_tables(perm: np.ndarray, n_shards: int):
+    """(send (sp, sp, L), out (sp, Nl), L) int32 tables for y[j] = x_global[perm[j]].
+
+    send[s][d][k]: local row of shard s shipped to shard d in slot k (0-padded);
+    out[d][j]: index into shard d's pool [x_local (Nl) ; recv (sp, L) flattened]."""
+    import hashlib
+
+    key = (hashlib.sha1(perm.tobytes()).hexdigest(), int(n_shards))
+    hit = _A2A_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    N = perm.size
+    sp = n_shards
+    Nl = N // sp
+    src_shard = perm // Nl
+    src_row = perm % Nl
+    dst_shard = np.arange(N) // Nl
+
+    counts = np.zeros((sp, sp), dtype=np.int64)
+    np.add.at(counts, (src_shard, dst_shard), 1)
+    np.fill_diagonal(counts, 0)
+    L = max(int(counts.max()), 1)  # L=1 keeps shapes static for pure-local perms
+
+    send = np.zeros((sp, sp, L), dtype=np.int32)
+    out = np.zeros((sp, Nl), dtype=np.int32)
+    slot = np.zeros((sp, sp), dtype=np.int64)
+    for d in range(sp):
+        g = slice(d * Nl, (d + 1) * Nl)
+        s_arr, r_arr = src_shard[g], src_row[g]
+        local = s_arr == d
+        out[d, local] = r_arr[local]
+        for j in np.nonzero(~local)[0]:
+            s, r = int(s_arr[j]), int(r_arr[j])
+            k = slot[s, d]
+            send[s, d, k] = r
+            slot[s, d] = k + 1
+            out[d, j] = Nl + s * L + k
+    _A2A_TABLE_CACHE[key] = (send, out, L)
+    return send, out, L
+
+
+def _a2a_apply(x, send_tbl, out_tbl, axis_name, n_shards, L):
+    B, Nl, C = x.shape
+    i = lax.axis_index(axis_name)
+    send_rows = lax.dynamic_slice_in_dim(send_tbl, i, 1, 0)[0]  # (sp, L)
+    out_rows = lax.dynamic_slice_in_dim(out_tbl, i, 1, 0)[0]  # (Nl,)
+    send = jnp.take(x, send_rows.reshape(-1), axis=1).reshape(B, n_shards, L, C)
+    recv = lax.all_to_all(send, axis_name, split_axis=1, concat_axis=1)
+    pool = jnp.concatenate([x, recv.reshape(B, n_shards * L, C)], axis=1)
+    return _gather_rows(pool, out_rows, B, Nl + n_shards * L, C)
+
+
+_A2A_FN_CACHE: dict = {}
+
+
+def sharded_permute_tokens_a2a(x, perm, inv_perm, axis_name, n_shards):
+    """Token-sharded ``y[j] = x_global[perm[j]]`` via the boundary all-to-all
+    (see module comment).  perm/inv_perm: HOST numpy arrays — the exchange tables
+    are precomputed from their concrete values, so the permutation is baked into
+    a cached custom-VJP closure (stable identity across jit traces)."""
+    perm = np.asarray(perm)
+    inv_perm = np.asarray(inv_perm)
+    import hashlib
+
+    key = (hashlib.sha1(perm.tobytes()).hexdigest(), axis_name, int(n_shards))
+    fn = _A2A_FN_CACHE.get(key)
+    if fn is None:
+        send, out, L = _a2a_tables(perm, n_shards)
+        send_i, out_i, L_i = _a2a_tables(inv_perm, n_shards)
+
+        @jax.custom_vjp
+        def fn(x):
+            return _a2a_apply(x, jnp.asarray(send), jnp.asarray(out),
+                              axis_name, n_shards, L)
+
+        def fwd(x):
+            return fn(x), None
+
+        def bwd(_, g):
+            # bijective permutation: the cotangent routes through the SAME
+            # exchange with the INVERSE tables (padded slots are never read,
+            # so they contribute nothing)
+            return (_a2a_apply(g, jnp.asarray(send_i), jnp.asarray(out_i),
+                               axis_name, n_shards, L_i),)
+
+        fn.defvjp(fwd, bwd)
+        _A2A_FN_CACHE[key] = fn
+    return fn(x)
+
+
+def sharded_permute(x, perm, inv_perm, axis_name, n_shards):
+    """Dispatcher used by the model: HEAL_SWIN_SEQ_EXCHANGE=all_to_all selects the
+    boundary exchange; default is the measured-correct all-gather."""
+    import os
+
+    if os.environ.get("HEAL_SWIN_SEQ_EXCHANGE") == "all_to_all":
+        return sharded_permute_tokens_a2a(
+            x, np.asarray(perm), np.asarray(inv_perm), axis_name, n_shards
+        )
+    return sharded_permute_tokens(
+        x, jnp.asarray(perm), jnp.asarray(inv_perm), axis_name, n_shards
+    )

@@ -426,3 +426,64 @@ def test_sp_checkpoint_resume_e2e(tmp_path, monkeypatch):
     first = [v for _, v, _ in store.get_run(first_id).get_metric_history("train_loss")]
     resumed = [v for _, v, _ in store.get_run(resumed_id).get_metric_history("train_loss")]
     np.testing.assert_allclose(first + resumed, straight, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("kind", ["random", "ring_shift", "roll"])
+def test_a2a_permute_matches_unsharded(kind):
+    """The boundary all-to-all exchange (sharded_permute_tokens_a2a): value AND
+    gradient equal jnp.take, for a dense random permutation (worst case), the real
+    ring-shift permutation (3-6% cross-shard), and a roll."""
+    from heal_swin_tpu.parallel.sequence import sharded_permute_tokens_a2a
+
+    rng = np.random.RandomState(1)
+    sp = 4
+    if kind == "random":
+        N = 128
+        perm = rng.permutation(N).astype(np.int32)
+    elif kind == "roll":
+        N = 128
+        perm = ((np.arange(N) + 5) % N).astype(np.int32)
+    else:
+        from heal_swin_tpu.ops.shifting import get_shift_spec
+
+        spec = get_shift_spec("ring_shift", 2048, 8, 16, 8)
+        perm = np.asarray(spec.perm, np.int32)
+        N = perm.size
+    inv = np.argsort(perm).astype(np.int32)
+    B, C = 2, 5
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    ref = jnp.take(x, jnp.asarray(perm), axis=1)
+    ref_dx = jax.grad(lambda x: jnp.sum(jnp.take(x, jnp.asarray(perm), axis=1) * g))(x)
+
+    mesh = _seq_mesh(sp)
+
+    y = jax.jit(
+        jax.shard_map(
+            lambda x: sharded_permute_tokens_a2a(x, perm, inv, "seq", sp),
+            mesh=mesh, in_specs=P(None, "seq"), out_specs=P(None, "seq"),
+            check_vma=True,
+        )
+    )(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    def loss(x, g):
+        y = sharded_permute_tokens_a2a(x, perm, inv, "seq", sp)
+        return jax.lax.psum(jnp.sum(y * g), "seq")
+
+    dx = jax.jit(
+        jax.shard_map(
+            jax.grad(loss), mesh=mesh,
+            in_specs=(P(None, "seq"), P(None, "seq")), out_specs=P(None, "seq"),
+            check_vma=True,
+        )
+    )(x, g)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
+
+
+def test_sp_forward_equivalence_a2a_exchange(monkeypatch):
+    """Full-model SP forward with HEAL_SWIN_SEQ_EXCHANGE=all_to_all == unsharded,
+    bit-exact (same check as test_sp_forward_equivalence, boundary exchange)."""
+    monkeypatch.setenv("HEAL_SWIN_SEQ_EXCHANGE", "all_to_all")
+    test_sp_forward_equivalence("ring_shift")
