@@ -487,3 +487,15 @@ def test_sp_forward_equivalence_a2a_exchange(monkeypatch):
     bit-exact (same check as test_sp_forward_equivalence, boundary exchange)."""
     monkeypatch.setenv("HEAL_SWIN_SEQ_EXCHANGE", "all_to_all")
     test_sp_forward_equivalence("ring_shift")
+
+
+def test_sp_train_equivalence_a2a_exchange(tmp_path, monkeypatch):
+    """2 epochs at dp=2 x sp=4 with the boundary all-to-all exchange == the
+    1-device run: the exchange plugs into the full train/eval loop (losses and
+    psum'd val metrics), not just the isolated primitive."""
+    losses_1, vloss_1, viou_1, _ = _train(tmp_path, 1, 1)
+    monkeypatch.setenv("HEAL_SWIN_SEQ_EXCHANGE", "all_to_all")
+    losses_s, vloss_s, viou_s, _ = _train(tmp_path, 8, 4)
+    np.testing.assert_allclose(losses_1, losses_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vloss_1, vloss_s, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(viou_1, viou_s, rtol=0.05, atol=0.005)
