@@ -16,6 +16,7 @@ calibration, no host round-trip per batch.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -35,6 +36,63 @@ def _project_images(idx, w, imgs_flat, cal_ids):
     g = jnp.take_along_axis(imgs_flat, ib.reshape(B, 4 * npix)[..., None], axis=1)
     g = g.reshape(B, 4, npix, imgs_flat.shape[-1])
     return jnp.einsum("bkp,bkpc->bpc", wb, g)
+
+
+def _remap_wide(t: "T.ForwardTable"):
+    """Remap the 4 clipped bilinear neighbors to (base index, 4 slot weights) in an
+    edge-replicated (H+1, W+1) padded geometry.
+
+    ``tables.py`` clips each neighbor independently (``_clip_flat_idx``), but the
+    clipped positions always stay inside the 2x2 patch anchored at the clipped
+    floor corner: rows {r00, r00+1} x cols {c00, c00+1}, where the +1 entries are
+    edge-replicated when the corner sits on the last row/column (clip-to-edge and
+    replicate-pad read the same pixel).  So one gather of the 4C-wide patch row
+    replaces four C-wide gathers — the TPU gather emitter charges per ROW, so this
+    is ~4x fewer gather descriptors for the same useful bytes.  Degenerate
+    neighbors (ceil==floor) land on the same slot and their weights fold (adds,
+    order-insensitive up to f32 rounding)."""
+    W1 = t.W + 1
+
+    def padded(idx):
+        return (idx // t.W) * W1 + (idx % t.W)
+
+    a = padded(t.idx00).astype(np.int32)
+    w4 = np.zeros((4, t.npix_used), np.float32)
+    slot_of = {0: 0, 1: 1, W1: 2, W1 + 1: 3}
+    cols = np.arange(t.npix_used)
+    for idx, w in ((t.idx00, t.w00), (t.idx10, t.w10), (t.idx01, t.w01),
+                   (t.idx11, t.w11)):
+        off = padded(idx) - a
+        slots = np.full(off.shape, -1, np.int64)
+        for o, s in slot_of.items():
+            slots[off == o] = s
+        assert (slots >= 0).all(), "bilinear neighbor outside the 2x2 padded patch"
+        np.add.at(w4, (slots, cols), w)
+    return a, w4
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _project_images_wide(a, w4, imgs, cal_ids):
+    """a: (K, npix) int32 padded-geometry base indices; w4: (K, 4, npix) f32 slot
+    weights (see _remap_wide); imgs: (B, H, W, C) float; cal_ids: (B,) int32.
+    Returns (B, npix, C).  One 4C-wide row gather instead of four C-wide ones."""
+    B, H, W, C = imgs.shape
+    W1 = W + 1
+    M = (H + 1) * W1
+    pad = jnp.pad(imgs, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    flat = pad.reshape(B, M, C)
+    # row f of q = the 2x2 patch whose corners sit at padded flat offsets
+    # {f, f+1, f+W1, f+W1+1}; built with four shifted views fused into one copy
+    q = jnp.concatenate(
+        [flat[:, : M - W1 - 1], flat[:, 1 : M - W1],
+         flat[:, W1 : M - 1], flat[:, W1 + 1 :]],
+        axis=-1,
+    )  # (B, M - W1 - 1, 4C)
+    ab = jnp.take(a, cal_ids, axis=0)  # (B, npix)
+    wb = jnp.take(w4, cal_ids, axis=0)  # (B, 4, npix)
+    g = jnp.take_along_axis(q, ab[..., None], axis=1)  # (B, npix, 4C)
+    g = g.reshape(B, ab.shape[1], 4, C)
+    return jnp.einsum("bkp,bpkc->bpc", wb, g)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -73,6 +131,9 @@ class DeviceProjector:
         self.w = np.stack(
             [np.stack([t.w00, t.w10, t.w01, t.w11]) for t in tabs]
         )  # (K, 4, npix) f32
+        wide = [_remap_wide(t) for t in tabs]
+        self.wide_a = np.stack([a for a, _ in wide])  # (K, npix) int32
+        self.wide_w4 = np.stack([w4 for _, w4 in wide])  # (K, 4, npix) f32
         self.nearest = np.stack([t.nearest_idx for t in tabs])
         self.valid = np.stack([t.nearest_valid for t in tabs])
 
@@ -81,8 +142,15 @@ class DeviceProjector:
         assert (H, W) == (self.H, self.W), ((H, W), (self.H, self.W))
         if cal_ids is None:
             cal_ids = jnp.zeros((B,), jnp.int32)
+        cal_ids = jnp.asarray(cal_ids, jnp.int32)
+        # wide (default): one 4C-wide patch-row gather — ~4x fewer gather rows on
+        # TPU (the gather emitter is row-count-bound).  narrow: the original four
+        # C-wide gathers, kept for A/B (HEAL_SWIN_PROJECT_GATHER=narrow).
+        if os.environ.get("HEAL_SWIN_PROJECT_GATHER", "wide") != "narrow":
+            return _project_images_wide(self.wide_a, self.wide_w4,
+                                        jnp.asarray(imgs), cal_ids)
         flat = jnp.asarray(imgs).reshape(B, H * W, C)
-        return _project_images(self.idx, self.w, flat, jnp.asarray(cal_ids, jnp.int32))
+        return _project_images(self.idx, self.w, flat, cal_ids)
 
     def project_masks(self, masks, cal_ids: Optional[jnp.ndarray] = None,
                       s2_bkgd_class: int = 0):

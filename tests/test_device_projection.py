@@ -18,7 +18,12 @@ CALS = [
 ]
 
 
-def test_device_projection_matches_tables():
+import pytest
+
+
+@pytest.mark.parametrize("gather", ["wide", "narrow"])
+def test_device_projection_matches_tables(gather, monkeypatch):
+    monkeypatch.setenv("HEAL_SWIN_PROJECT_GATHER", gather)
     rng = np.random.RandomState(0)
     imgs = rng.rand(4, H, W, 3).astype(np.float32) * 255.0
     cal_ids = np.array([0, 1, 1, 0], np.int32)
@@ -30,6 +35,24 @@ def test_device_projection_matches_tables():
         tab = forward_table(CALS[cal_ids[b]], NSIDE, BASE, rotate_pole=False)
         ref = tab.apply_image(imgs[b].transpose(2, 0, 1))  # (3, npix)
         np.testing.assert_allclose(out[b], ref.T, rtol=1e-5, atol=1e-4)
+
+
+def test_wide_remap_covers_degenerate_neighbors():
+    """Exact-integer sample coordinates make ceil==floor (degenerate neighbors
+    folding onto one slot) and edge clips replicate — the wide remap must stay
+    bit-compatible with the narrow 4-gather form on such grids too."""
+    from heal_swin_tpu.projection.device import _remap_wide
+
+    for cal in CALS:
+        tab = forward_table(cal, NSIDE, BASE, rotate_pole=False)
+        a, w4 = _remap_wide(tab)
+        # every base stays a valid patch row of the padded (H+1, W+1) geometry
+        W1 = tab.W + 1
+        assert a.min() >= 0 and a.max() <= (tab.H + 1) * W1 - W1 - 2
+        # total weight per pixel is preserved exactly (pure reassignment)
+        np.testing.assert_allclose(
+            w4.sum(0), tab.w00 + tab.w10 + tab.w01 + tab.w11, rtol=0, atol=0
+        )
 
 
 def test_device_mask_projection_matches_tables():
