@@ -49,9 +49,10 @@ def test_wide_remap_covers_degenerate_neighbors():
         # every base stays a valid patch row of the padded (H+1, W+1) geometry
         W1 = tab.W + 1
         assert a.min() >= 0 and a.max() <= (tab.H + 1) * W1 - W1 - 2
-        # total weight per pixel is preserved exactly (pure reassignment)
+        # total weight per pixel is preserved (pure reassignment); folding
+        # degenerate neighbors onto one slot reorders the f32 sum, so allow ULPs
         np.testing.assert_allclose(
-            w4.sum(0), tab.w00 + tab.w10 + tab.w01 + tab.w11, rtol=0, atol=0
+            w4.sum(0), tab.w00 + tab.w10 + tab.w01 + tab.w11, rtol=0, atol=1e-6
         )
 
 
