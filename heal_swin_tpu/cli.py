@@ -41,6 +41,14 @@ def main():
     sub.add_parser("format-code")  # reference run.py format_code (black)
     p = sub.add_parser("start-mlflow-server")
     p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--backend", choices=["filesystem", "builtin"], default="builtin",
+                   help="'filesystem' delegates to an installed mlflow binary; "
+                        "'builtin' (default) serves the FileStore with the "
+                        "lockfile-guarded stdlib server (tracking/server.py)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="accepted for reference compat (builtin server is threaded)")
+    p.add_argument("--timeout", type=int, default=600,
+                   help="accepted for reference compat")
 
     args = parser.parse_args()
     if args.env != "local":
@@ -89,19 +97,30 @@ def main():
             print("black is not installed in this image; no formatting applied")
         sys.exit(rc)
     elif args.cmd == "start-mlflow-server":
+        # reference run.py:69-120 mlf_server: filesystem backend delegates to the
+        # mlflow binary; the default backend runs a lockfile-guarded tracking
+        # server (ours is the stdlib FileStore server, tracking/server.py, since
+        # mlflow/sqlite aren't baked into the TPU image).  The lockfile makes
+        # tracking/server.py get_tracking_uri resolve to this server, exactly
+        # like the reference's utils/mlflow_utils.py:8-19.
         from heal_swin_tpu.utils.utils import get_mlruns_path
 
-        try:
-            subprocess.call(
-                ["mlflow", "ui", "--backend-store-uri", f"file://{get_mlruns_path()}",
-                 "--port", str(args.port)]
-            )
-        except FileNotFoundError:
-            print(
-                "mlflow is not installed in this image; runs are written in the MLflow "
-                f"FileStore format under {get_mlruns_path()} and can be browsed with any "
-                "mlflow ui pointed at that directory."
-            )
+        if args.backend == "filesystem":
+            try:
+                subprocess.call(
+                    ["mlflow", "ui", "--backend-store-uri",
+                     f"file://{get_mlruns_path()}", "--port", str(args.port)]
+                )
+            except FileNotFoundError:
+                print(
+                    "mlflow is not installed in this image; use the default "
+                    "--backend builtin, or browse the FileStore under "
+                    f"{get_mlruns_path()} with any mlflow ui pointed at it."
+                )
+            return
+        from heal_swin_tpu.tracking.server import serve
+
+        serve(port=args.port)
 
 
 if __name__ == "__main__":

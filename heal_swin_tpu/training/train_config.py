@@ -73,11 +73,18 @@ class PLConfig:
       None/0 -> all available devices.  List/str forms take their length.
     - ``precision``: 32 -> float32 compute, 16 -> bfloat16 compute (TPU-native AMP).
     - ``accelerator``: ignored (sharding replaces DDP); kept for config compat.
-    - honored: gradient_clip_val, max_epochs/min_epochs, max_steps,
-      accumulate_grad_batches (int), limit_{train,val,predict}_batches,
-      check_val_every_n_epoch, log_every_n_steps, fast_dev_run, deterministic,
-      resume_from_checkpoint, terminate_on_nan, num_sanity_val_steps.
-    - accepted-and-ignored (no XLA equivalent / handled elsewhere): everything else.
+    - honored: the fields in ``HONORED_FIELDS`` below (gradient_clip_val,
+      max_epochs/min_epochs, max_steps, accumulate_grad_batches (int),
+      limit_{train,val,predict}_batches, check_val_every_n_epoch,
+      val_check_interval, log_every_n_steps, fast_dev_run, resume_from_checkpoint,
+      terminate_on_nan, num_sanity_val_steps, auto_lr_find, precision, gpus,
+      num_nodes, checkpoint_callback, seq_parallel_devices; ``deterministic`` is
+      trivially satisfied — XLA TPU runs are deterministic by construction).
+    - accepted-and-ignored (no XLA equivalent / handled elsewhere): everything
+      else.  The Trainer emits a once-per-run warning for every
+      accepted-and-ignored field a run config sets to a non-default value
+      (``warn_ignored_fields``), so ported reference configs never change
+      behavior silently.
     - ``seq_parallel_devices`` (TPU extension, no reference analogue): shard the
       HEALPix token axis over this many devices per data-parallel group — the mesh
       becomes (devices/sp, sp) over ('data', 'seq') and the train/eval steps run
@@ -148,6 +155,44 @@ class PLConfig:
         if isinstance(g, str):
             g = [s for s in g.split(",") if s.strip() != ""]
         return len(g) if len(g) > 0 else None
+
+
+# PLConfig fields the JAX trainer actually consumes (everything else is
+# accepted-and-ignored for reference-config compatibility; see warn_ignored_fields)
+HONORED_FIELDS = frozenset({
+    "checkpoint_callback", "gradient_clip_val", "check_val_every_n_epoch",
+    "val_check_interval", "fast_dev_run", "accumulate_grad_batches",
+    "max_epochs", "min_epochs", "max_steps", "limit_train_batches",
+    "limit_val_batches", "limit_predict_batches", "log_every_n_steps",
+    "precision", "num_sanity_val_steps", "resume_from_checkpoint",
+    "terminate_on_nan", "auto_lr_find", "gpus", "num_nodes",
+    "deterministic",  # trivially satisfied: XLA TPU execution is deterministic
+    "seq_parallel_devices",
+})
+
+
+def warn_ignored_fields(pl_config: PLConfig) -> List[str]:
+    """Warn once about accepted-and-ignored PLConfig fields set to non-default
+    values — a reference run config tuning e.g. ``num_processes`` would otherwise
+    silently behave differently here.  Returns the offending field names."""
+    import dataclasses
+    import warnings
+
+    offending = []
+    for f in dataclasses.fields(pl_config):
+        if f.name in HONORED_FIELDS:
+            continue
+        if getattr(pl_config, f.name) != f.default:
+            offending.append(f.name)
+    if offending:
+        warnings.warn(
+            "PLConfig fields accepted for reference-config compatibility but "
+            f"IGNORED by the TPU trainer were set to non-default values: "
+            f"{', '.join(sorted(offending))} (honored fields: "
+            "training/train_config.py HONORED_FIELDS)",
+            stacklevel=2,
+        )
+    return offending
 
 
 TrainerConfig = PLConfig

@@ -74,6 +74,10 @@ class Trainer:
         self.pl = pl_config
         self.tc = train_config or TrainConfig()
         self.run = run
+        # surface silently-ignored reference flags once per run
+        from heal_swin_tpu.training.train_config import warn_ignored_fields
+
+        warn_ignored_fields(pl_config)
 
         # sequence parallelism (TPU extension, parallel/sequence.py): a 2-D
         # (data, seq) mesh; the token axis shards over 'seq' and the train/eval
@@ -452,11 +456,24 @@ class Trainer:
             if pl.fast_dev_run:
                 n_train_batches = 1
 
+            # val_check_interval (Lightning semantics): float < 1.0 -> validate
+            # every that fraction of the epoch (plus the epoch-end check below);
+            # int -> every N train batches.  Only on epochs where validation is
+            # due per check_val_every_n_epoch.
+            val_epoch_due = (epoch + 1) % pl.check_val_every_n_epoch == 0 or pl.fast_dev_run
+            vci = pl.val_check_interval
+            if isinstance(vci, float):
+                vci_batches = None if vci >= 1.0 else max(1, int(n_train_batches * vci))
+            else:
+                vci_batches = max(1, int(vci))
+
             mstate = put_replicated(jax.device_get(jax.jit(task.metric_init)()), self.repl)
             loss_acc = put_replicated(np.zeros((), np.float32), self.repl)
             n_steps_epoch = 0
             t0 = time.time()
             samples_seen = 0
+            mid_val_time = 0.0  # mid-epoch validation excluded from the epoch timer
+            val_metrics: Dict[str, float] = {}
 
             def staged_train_batches():
                 for imgs, targets in itertools.islice(iter(train_loader), n_train_batches):
@@ -483,13 +500,28 @@ class Trainer:
                     stop = True
                     break
 
+                if (
+                    val_epoch_due
+                    and vci_batches is not None
+                    and n_steps_epoch % vci_batches == 0
+                    and n_steps_epoch < n_train_batches
+                ):
+                    # mid-epoch validation (val_check_interval); the epoch-end
+                    # check below still runs, so float intervals match Lightning's
+                    # "at each fraction boundary including 100%" cadence
+                    float(loss)  # drain queued compute before timing validation
+                    tv = time.time()
+                    val_metrics = self._run_validation(task, datamodule, params)
+                    last_metrics.update(val_metrics)
+                    mid_val_time += time.time() - tv
+
             if n_steps_epoch:
                 # sync on the last step's loss BEFORE stopping the timer: dispatch
                 # is async, so without this the epoch time would exclude whatever
                 # compute is still queued (params chain step-to-step, so one fetch
                 # drains everything; block_until_ready is not reliable on axon)
                 float(loss)
-            epoch_time = time.time() - t0
+            epoch_time = time.time() - t0 - mid_val_time
             train_metrics = task.metric_compute(mstate, "train_")
             if n_steps_epoch:
                 train_metrics["train_loss"] = float(loss_acc) / n_steps_epoch
@@ -504,9 +536,9 @@ class Trainer:
             self._log(train_metrics)
             last_metrics.update(train_metrics)
 
-            # validation
-            val_metrics: Dict[str, float] = {}
-            if (epoch + 1) % pl.check_val_every_n_epoch == 0 or pl.fast_dev_run:
+            # epoch-end validation (mid-epoch checks — val_check_interval — may
+            # already have populated val_metrics; this refresh supersedes them)
+            if val_epoch_due:
                 n_val = 1 if pl.fast_dev_run else None
                 val_metrics = self._run_validation(task, datamodule, params, max_batches=n_val)
                 last_metrics.update(val_metrics)
@@ -542,7 +574,9 @@ class Trainer:
                     es_bad_epochs = 0
                 else:
                     es_bad_epochs += 1
-                    if es_bad_epochs >= tc.early_stopping_patience:
+                    if es_bad_epochs >= tc.early_stopping_patience and (
+                        pl.min_epochs is None or epoch + 1 >= pl.min_epochs
+                    ):
                         stop = True
 
             best_metrics = all_metrics

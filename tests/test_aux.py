@@ -84,3 +84,68 @@ def test_experiment_name_needing_yaml_quoting_is_reused(tmp_path):
         e1 = store.get_or_create_experiment(name)
         e2 = store.get_or_create_experiment(name)
         assert e1 == e2, name
+
+
+def test_tracking_server_lockfile_and_http(tmp_path):
+    """Built-in tracking server (tracking/server.py): lockfile protocol + URI
+    resolution mirror the reference (run.py:69-120 mlf_server,
+    utils/mlflow_utils.py:8-19 get_tracking_uri), and the HTTP endpoints expose
+    the FileStore contents."""
+    import json
+    import threading
+    import urllib.request
+
+    from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+    from heal_swin_tpu.tracking.server import (
+        TrackingServer,
+        get_tracking_uri,
+        tracking_server_file_path,
+    )
+
+    mlruns = tmp_path / "mlruns"
+    store = MlflowFileStore(mlruns)
+    run = store.create_run("server_expt", run_name="myrun")
+    run.log_param("lr", 0.1)
+    run.log_metric("val_loss", 1.5, step=0)
+    run.log_metric("val_loss", 1.25, step=1)
+    run.set_status("FINISHED")
+
+    # no server -> FileStore URI
+    assert get_tracking_uri(mlruns) == f"file://{mlruns}"
+
+    server = TrackingServer(mlruns, port=0).start()  # port 0: OS-assigned
+    try:
+        lock = tracking_server_file_path(mlruns)
+        assert lock.is_file()
+        data = json.loads(lock.read_text())
+        assert {"user", "start_time", "host", "port", "workers", "timeout"} <= set(data)
+        assert get_tracking_uri(mlruns) == f"http://{data['host']}:{data['port']}"
+
+        # double-start refused while the lockfile exists
+        import pytest
+
+        with pytest.raises(RuntimeError, match="already running"):
+            TrackingServer(mlruns, port=0).start()
+
+        t = threading.Thread(target=server.httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{server.port}"
+
+        def get_json(path):
+            with urllib.request.urlopen(base + path, timeout=10) as r:
+                return json.loads(r.read())
+
+        exps = get_json("/?format=json")["experiments"]
+        assert any(e.get("name") == "server_expt" for e in exps)
+        eid = next(e["experiment_id"] for e in exps if e.get("name") == "server_expt")
+        runs = get_json(f"/experiments/{eid}?format=json")["runs"]
+        assert runs[0]["run_id"] == run.run_id and runs[0]["run_name"] == "myrun"
+        payload = get_json(f"/experiments/{eid}/runs/{run.run_id}?format=json")
+        assert payload["params"]["lr"] == "0.1"
+        assert payload["metrics"]["val_loss"] == 1.25  # last value
+        hist = get_json(f"/experiments/{eid}/runs/{run.run_id}/metrics/val_loss")
+        assert [h["value"] for h in hist["history"]] == [1.5, 1.25]
+    finally:
+        server.stop()
+    assert not tracking_server_file_path(mlruns).is_file()  # lockfile removed
+    assert get_tracking_uri(mlruns) == f"file://{mlruns}"

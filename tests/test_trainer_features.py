@@ -83,6 +83,54 @@ def test_early_stopping_patience(tmp_path):
     assert result.epochs_run == 2  # epoch 0 sets the baseline, epoch 1 trips patience
 
 
+def test_min_epochs_defers_early_stopping(tmp_path):
+    """min_epochs keeps training past a tripped early-stopping patience
+    (Lightning semantics)."""
+    pl = PLConfig(max_epochs=6, min_epochs=4, limit_train_batches=1,
+                  limit_val_batches=1, num_sanity_val_steps=0, log_every_n_steps=1)
+    trainer, result = _fit(
+        tmp_path, pl,
+        train_tweaks=dict(
+            early_stopping=True, early_stopping_monitor="val_loss",
+            early_stopping_mode="min", early_stopping_patience=1,
+            early_stopping_min_delta=1e9, eval_after_train=False,
+        ),
+    )
+    assert result.epochs_run == 4  # patience trips at epoch 1 but min_epochs=4 holds
+
+
+def test_val_check_interval_mid_epoch(tmp_path):
+    """val_check_interval=0.5 validates mid-epoch AND at epoch end (Lightning
+    fraction semantics) — previously the field was accepted and silently ignored."""
+    pl = PLConfig(max_epochs=1, limit_train_batches=4, limit_val_batches=1,
+                  val_check_interval=0.5, num_sanity_val_steps=0,
+                  log_every_n_steps=10**6, gpus=1)  # 1 device: 4 real train batches
+    trainer, _ = _fit(tmp_path, pl, train_tweaks=dict(eval_after_train=False))
+    hist = trainer.run.get_metric_history("val_loss")
+    assert len(hist) == 2  # after batch 2 (50%) and at epoch end
+
+
+def test_warn_on_ignored_pl_fields():
+    """Non-default values on accepted-and-ignored PLConfig fields warn once;
+    honored fields stay silent (training/train_config.py warn_ignored_fields)."""
+    import warnings
+
+    from heal_swin_tpu.training.train_config import warn_ignored_fields
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bad = warn_ignored_fields(PLConfig(num_processes=4, sync_batchnorm=True))
+    assert sorted(bad) == ["num_processes", "sync_batchnorm"]
+    assert len(w) == 1 and "num_processes" in str(w[0].message)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ok = warn_ignored_fields(
+            PLConfig(max_steps=5, val_check_interval=0.5, gradient_clip_val=1.0)
+        )
+    assert ok == [] and len(w) == 0
+
+
 def test_lr_find_range_test(tmp_path):
     """LR range test (reference auto_lr_find, train.py:204-217): sweeps lr
     exponentially and suggests a finite lr inside the sweep range."""
