@@ -265,17 +265,20 @@ class WoodscapeHPDepthDataModule:
             self.train_dataset, batch_size=self.common.batch_size,
             shuffle=self.common.shuffle and self.overfit_batches == 0,
             seed=self.common.seed or 0, drop_last=True, indices=self.train_indices,
+            num_workers=self.common.train_worker,  # reference hp_datasets.py:318
         )
 
     def val_dataloader(self):
         if self.overfit_batches > 0:
             return self.train_dataloader()
-        return DataLoader(self.val_dataset, batch_size=self.common.val_batch_size, shuffle=False)
+        return DataLoader(self.val_dataset, batch_size=self.common.val_batch_size,
+                          shuffle=False, num_workers=self.common.val_worker)
 
     def predict_dataloader(self):
         return DataLoader(
             self.pred_dataset, batch_size=self.common.pred_batch_size, shuffle=False,
             collate_fn=default_collate, indices=self.pred_indices,
+            num_workers=self.common.val_worker,  # reference hp_datasets.py:343
         )
 
     def _device_project_batch(self, imgs, targets):

@@ -1,16 +1,24 @@
 """Host-side data loading: map-style datasets -> batched numpy iterators with
-background-thread prefetch.
+background prefetch and a multi-worker decode pool.
 
-Replaces torch DataLoader workers (the reference uses 2-5 worker processes reading
-pre-projected .npz per sample).  On TPU the input pipeline only has to keep one device
-fed; a prefetch thread pool decoding into pinned numpy is enough, and the heavy
-projection work is precomputed (or fused on device, see projection module).
+Replaces torch DataLoader workers (the reference feeds training through 2-5 worker
+PROCESSES reading one pre-projected .npz per sample, data_config.py:5-21 /
+hp_datasets.py:318-343).  On TPU the input pipeline only has to keep one device fed;
+the heavy per-sample work here is PNG/npz decode, which releases the GIL in
+PIL/zlib/numpy — so a THREAD pool reaches the same decode parallelism without
+process-spawn/IPC overhead.  ``num_workers`` (wired from the reference's
+``train_worker``/``val_worker`` config knobs by the datamodules) sizes the pool;
+batches are collated and handed over in deterministic order regardless of pool
+scheduling.  Measured loader-only throughput: docs/PERFORMANCE.md "Host input
+pipeline".
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -51,6 +59,8 @@ class DataLoader:
     shuffle uses a per-epoch RandomState(seed + epoch); call set_epoch() before each
     epoch for reshuffling (like DistributedSampler.set_epoch).
     ``indices``: optional fixed subset (manual-overfit machinery).
+    ``num_workers``: decode-pool threads (the reference's DataLoader num_workers);
+    1 keeps the single background prefetch thread, 0/prefetch=0 is fully synchronous.
     """
 
     def __init__(
@@ -63,7 +73,7 @@ class DataLoader:
         collate_fn: Optional[Callable] = None,
         indices: Optional[Sequence[int]] = None,
         prefetch: int = 2,
-        num_threads: int = 4,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -73,7 +83,7 @@ class DataLoader:
         self.collate_fn = collate_fn or default_collate
         self.indices = np.asarray(indices) if indices is not None else None
         self.prefetch = prefetch
-        self.num_threads = num_threads
+        self.num_workers = max(int(num_workers), 0)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -90,7 +100,7 @@ class DataLoader:
         n = len(self.indices) if self.indices is not None else len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator:
+    def _batches(self):
         order = self._order()
         n = len(order)
         batches = []
@@ -99,8 +109,12 @@ class DataLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             batches.append(chunk)
+        return batches
 
-        if self.prefetch <= 0:
+    def __iter__(self) -> Iterator:
+        batches = self._batches()
+
+        if self.prefetch <= 0 or self.num_workers == 0:
             for chunk in batches:
                 yield self.collate_fn([self.dataset[int(i)] for i in chunk])
             return
@@ -121,17 +135,57 @@ class DataLoader:
                     pass
             return False
 
-        def worker():
-            try:
-                for chunk in batches:
-                    if stop.is_set():
-                        return
-                    samples = [self.dataset[int(i)] for i in chunk]
-                    if not put(self.collate_fn(samples)):
-                        return
-                put(None)
-            except BaseException as e:  # propagate into consumer
-                put(e)
+        if self.num_workers <= 1:
+
+            def worker():
+                try:
+                    for chunk in batches:
+                        if stop.is_set():
+                            return
+                        samples = [self.dataset[int(i)] for i in chunk]
+                        if not put(self.collate_fn(samples)):
+                            return
+                    put(None)
+                except BaseException as e:  # propagate into consumer
+                    put(e)
+
+        else:
+            # decode pool: per-sample dataset[i] fetches run on num_workers
+            # threads; a coordinator keeps `prefetch` batches of futures in
+            # flight and collates them IN ORDER, so batch content/order is
+            # identical to the single-worker path for any pool size
+            pool = ThreadPoolExecutor(
+                max_workers=self.num_workers, thread_name_prefix="hs-decode"
+            )
+
+            def fetch(i):
+                if stop.is_set():
+                    return None  # drain cheaply after abandonment
+                return self.dataset[int(i)]
+
+            def worker():
+                try:
+                    pending: deque = deque()
+
+                    def drain_one() -> bool:
+                        futs = pending.popleft()
+                        return put(self.collate_fn([f.result() for f in futs]))
+
+                    for chunk in batches:
+                        while len(pending) > max(self.prefetch, 1):
+                            if stop.is_set() or not drain_one():
+                                return
+                        if stop.is_set():
+                            return
+                        pending.append([pool.submit(fetch, i) for i in chunk])
+                    while pending:
+                        if stop.is_set() or not drain_one():
+                            return
+                    put(None)
+                except BaseException as e:
+                    put(e)
+                finally:
+                    pool.shutdown(wait=False, cancel_futures=True)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -201,13 +201,16 @@ class _SyntheticDataModuleBase:
             seed=self.common.seed or 0,
             drop_last=True,
             indices=self.train_indices,
+            num_workers=self.common.train_worker,
         )
 
     def val_dataloader(self):
-        return DataLoader(self.val_ds, batch_size=self.common.val_batch_size, shuffle=False)
+        return DataLoader(self.val_ds, batch_size=self.common.val_batch_size,
+                          shuffle=False, num_workers=self.common.val_worker)
 
     def predict_dataloader(self):
-        return DataLoader(self.pred_ds, batch_size=self.common.pred_batch_size, shuffle=False)
+        return DataLoader(self.pred_ds, batch_size=self.common.pred_batch_size,
+                          shuffle=False, num_workers=self.common.val_worker)
 
     def get_classes(self):
         return N_CLASSES

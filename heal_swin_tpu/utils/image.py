@@ -10,16 +10,51 @@
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 from PIL import Image
 
+try:  # OpenCV decodes PNG 2-3x faster than PIL AND releases the GIL, so the
+    # loader's decode thread pool (data/loading.py num_workers) actually scales;
+    # PIL's decoder holds the GIL (measured flat at any pool size).
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover - cv2 is in the image, PIL path is tested
+    _HAS_CV2 = False
+
+
+def _png_color_type(path) -> int:
+    """PNG IHDR color type (byte 25): 3 = palette (cv2 expands palettes to BGR,
+    PIL keeps the index semantics the mask datasets rely on). -1: not a PNG."""
+    with open(path, "rb") as f:
+        head = f.read(26)
+    if len(head) < 26 or head[:8] != b"\x89PNG\r\n\x1a\n":
+        return -1
+    return struct.unpack("B", head[25:26])[0]
+
 
 def read_image(path) -> np.ndarray:
+    """PNG -> (C, H, W) uint8 RGB, torchvision.io.read_image semantics."""
+    if _HAS_CV2:
+        bgr = cv2.imread(str(path), cv2.IMREAD_COLOR)  # palette/alpha -> 8-bit BGR
+        if bgr is not None:
+            return np.ascontiguousarray(bgr[:, :, ::-1].transpose(2, 0, 1))
     img = np.asarray(Image.open(path).convert("RGB"))
     return img.transpose(2, 0, 1).copy()  # (C, H, W)
 
 
 def read_mask(path) -> np.ndarray:
+    """Label PNG -> (H, W) (or (H, W, C)) uint8, PIL raw-array semantics:
+    paletted PNGs decode to palette INDICES (the class ids), so those take the
+    PIL path; plain grayscale/color masks take the GIL-free cv2 path."""
+    if _HAS_CV2 and _png_color_type(path) not in (3, -1):
+        raw = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if raw is not None:
+            if raw.ndim == 3 and raw.shape[2] >= 3:  # BGR(A) -> RGB(A)
+                raw = raw[:, :, [2, 1, 0] + ([3] if raw.shape[2] == 4 else [])]
+            return np.ascontiguousarray(raw)
     return np.asarray(Image.open(path)).copy()  # (H, W)
 
 
