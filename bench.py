@@ -147,7 +147,8 @@ def main():
     nside = int(os.environ.get("BENCH_NSIDE", 256))
     batch = int(os.environ.get("BENCH_BATCH", 2))
     steps = int(os.environ.get("BENCH_STEPS", 20))
-    which = os.environ.get("BENCH_MODEL", "swin_hp")  # "swin_hp" | "swin"
+    # "swin_hp" | "swin" | "depth_swin_hp" (model registry names, models/tasks.py)
+    which = os.environ.get("BENCH_MODEL", "swin_hp")
     npix = 8 * nside * nside
     n_classes = 10
 
@@ -166,11 +167,30 @@ def main():
             patch_size=2, window_size=8, shift_size=2, embed_dim=96,
             depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24], use_cos_attn=True,
             use_v2_norm_placement=True, dtype="bfloat16", gelu_approx=True,
+            fused_final_head=os.environ.get("BENCH_FUSED", "1") != "0",
         )
         spec = DataSpec(dim_in=(H, W), f_in=3, f_out=n_classes)
         model = SwinTransformerSys(cfg, spec)
         x = jax.random.uniform(rng, (batch, H, W, 3), jnp.float32, 0.0, 255.0)
         y = jax.random.randint(rng, (batch, H, W), 0, n_classes, jnp.int32)
+    elif which == "depth_swin_hp":
+        # paper depth config (reference depth_swin_hp_train_run_config.py:83-129):
+        # same backbone capacity, 1 output channel, masked-l2 loss on inf-marked
+        # background (~35% of pixels outside the fisheye footprint)
+        cfg = SwinHPTransformerConfig(
+            patch_size=4, window_size=64, shift_size=4, shift_strategy="ring_shift",
+            rel_pos_bias="flat", embed_dim=96, depths=[2, 2, 6, 2],
+            num_heads=[3, 6, 12, 24], use_cos_attn=True, use_v2_norm_placement=True,
+            dtype="bfloat16", gelu_approx=True,
+            fused_final_head=os.environ.get("BENCH_FUSED", "1") != "0",
+        )
+        from heal_swin_tpu.data.data_spec import DepthDataSpec
+
+        spec = DepthDataSpec(dim_in=npix, f_in=3, f_out=1, base_pix=8)
+        x = jax.random.uniform(rng, (batch, npix, 3), jnp.float32, 0.0, 255.0)
+        depths = jax.random.uniform(rng, (batch, npix), jnp.float32, 0.1, 60.0)
+        bg = jax.random.uniform(jax.random.PRNGKey(3), (batch, npix)) < 0.35
+        y = jnp.where(bg, jnp.inf, depths)
     else:
         cfg = SwinHPTransformerConfig(
             patch_size=4, window_size=64, shift_size=4, shift_strategy="ring_shift",
@@ -183,6 +203,21 @@ def main():
         model = SwinHPTransformerSys(cfg, spec)
         x = jax.random.uniform(rng, (batch, npix, 3), jnp.float32, 0.0, 255.0)
         y = jax.random.randint(rng, (batch, npix), 0, n_classes, jnp.int32)
+
+    task = None
+    if which == "depth_swin_hp":
+        from heal_swin_tpu.models.tasks import (
+            CommonDepthConfig, WoodscapeDepthSwinHP, WoodscapeDepthSwinHPConfig,
+        )
+
+        task = WoodscapeDepthSwinHP(
+            WoodscapeDepthSwinHPConfig(
+                swin_hp_transformer_config=cfg,
+                common_depth_config=CommonDepthConfig(loss="l2"),
+            ),
+            spec,
+        )
+        model = task.model  # f_out=1 head
 
     t0 = time.time()
     params = jax.jit(model.init, static_argnums=2)(rng, x, True)
@@ -240,22 +275,30 @@ def main():
 
     import functools
 
-    fused_tail = which == "swin_hp" and cfg.fused_final_head
-    with_metrics = which == "swin_hp" and bool(os.environ.get("BENCH_METRICS"))
-    task = None
-    if fused_tail or with_metrics:
+    fused_tail = cfg.fused_final_head
+    with_metrics = bool(os.environ.get("BENCH_METRICS"))
+    if which in ("swin_hp", "swin") and (fused_tail or with_metrics):
         mode = " + per-step train metrics" if with_metrics else ""
         print(f"bench: task train path (fused={fused_tail}){mode}", file=sys.stderr)
         from heal_swin_tpu.models.tasks import (
+            WoodscapeSegmenterSwin, WoodscapeSegmenterSwinConfig,
             WoodscapeSegmenterSwinHP, WoodscapeSegmenterSwinHPConfig,
         )
 
-        task = WoodscapeSegmenterSwinHP(
-            WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=cfg), spec
-        )
+        if which == "swin_hp":
+            task = WoodscapeSegmenterSwinHP(
+                WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=cfg), spec
+            )
+        else:
+            task = WoodscapeSegmenterSwin(
+                WoodscapeSegmenterSwinConfig(swin_transformer_config=cfg), spec
+            )
         task.model = model  # same module/params
         if fused_tail:
             assert task._fused_tail_ok(None), "fused tail gate rejected the bench config"
+    elif which == "depth_swin_hp":
+        print(f"bench: depth task train path (fused_final_head={cfg.fused_final_head})",
+              file=sys.stderr)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, mstate, x, y, step_rng):
@@ -310,9 +353,12 @@ def main():
           f"TFLOP/s achieved, MFU {100*mfu:.1f}% of v5e bf16 peak", file=sys.stderr)
 
     reference_a100_imgs_per_sec = 2.5  # documented estimate, see module docstring
+    metric_name = {
+        "swin": "swin_unet_train_images_per_sec_per_chip",
+        "depth_swin_hp": "heal_swin_depth_unet_train_images_per_sec_per_chip",
+    }.get(which, "heal_swin_unet_train_images_per_sec_per_chip")
     print(json.dumps({
-        "metric": f"{which}_unet_train_images_per_sec_per_chip"
-        if which == "swin" else "heal_swin_unet_train_images_per_sec_per_chip",
+        "metric": metric_name,
         "value": round(images_per_sec, 3),
         "unit": (
             f"images/sec/chip (flat 640x768, batch {batch}, bf16)" if which == "swin"

@@ -59,6 +59,13 @@ class SwinTransformerConfig:
     dtype: Optional[str] = None  # TPU extension: compute dtype
     gelu_approx: bool = False  # TPU extension: tanh GELU (bf16-indistinguishable, faster)
     attention_impl: str = "auto"  # TPU extension: "auto" | "xla" | "pallas"
+    # TPU extension: fuse FinalPatchExpand2D + LN + head + weighted CE into one
+    # Pallas kernel on SEGMENTATION TRAIN steps (ops/final_head.py — the
+    # depth-to-space transpose commutes with the per-element CE/confmat, so the
+    # flat tail reuses the HP kernel with p = p1*p2 and transposed targets).
+    # Default on like the HP model's flag; the gate in tasks.py falls back
+    # off-TPU / unsupported shapes.  Eval/predict always use the plain tail.
+    fused_final_head: bool = True
 
     @property
     def compute_dtype(self):
@@ -304,7 +311,10 @@ class SwinTransformerSys(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, seq=None):
+    def __call__(self, x, deterministic: bool = True, tail: bool = True, seq=None):
+        """``tail=False`` stops after norm_up and returns the (B, Hp*Wp, C)
+        patch tokens — the input of the fused expand+LN+head+CE kernel
+        (ops/final_head.py); mirrors SwinHPTransformerSys."""
         assert seq is None, (
             "sequence parallelism targets the HP model's 1-D nested token axis "
             "(parallel/sequence.py); the flat baseline is data-parallel only"
@@ -410,6 +420,8 @@ class SwinTransformerSys(nn.Module):
                     )(x)
 
         x = LayerNorm(dtype=dt, name="norm_up")(x)
+        if not tail:
+            return x
 
         if cfg.final_upsample == "expand_first":
             x = FinalPatchExpand2D(

@@ -99,12 +99,32 @@ class _SegmenterBase:
     def init_variables(self, rng, imgs):
         return self.model.init(rng, jnp.asarray(imgs), True)
 
+    # --- fused decoder-tail hooks (HP values; the flat subclass overrides) ---
+    def _inner_cfg(self):
+        return getattr(self.config, "swin_hp_transformer_config", None)
+
+    def _fused_geometry(self):
+        """(tokens per sample, sub-pixels per token) of the decoder tail."""
+        cfg = self._inner_cfg()
+        return self.data_spec.dim_in // cfg.patch_size, cfg.patch_size
+
+    def _fused_params(self, params):
+        """The param subtree holding up/{expand,norm} and output."""
+        return params["params"]["decoder"]
+
+    def _kernel_targets(self, arr):
+        """Per-pixel array (B, npix) -> the kernel's (B*T, p) row layout: the p
+        pixels of token n are the p column slices of its expand output."""
+        B = arr.shape[0]
+        T, p = self._fused_geometry()
+        return arr.reshape(B * arr.shape[1] // p, p)
+
     def _fused_tail_ok(self, sample_mask, seq=None):
         """Gate for the fused expand+LN+head+CE train path (ops/final_head.py):
-        HP model with the config flag on, no eval padding mask (the kernel's
-        confusion matrix counts every element).  ``seq``: the (axis_name, n_shards)
-        token sharding — the kernel then sees the per-shard token count."""
-        cfg = getattr(self.config, "swin_hp_transformer_config", None)
+        the config flag on, no eval padding mask (the kernel's confusion matrix
+        counts every element).  ``seq``: the (axis_name, n_shards) token sharding
+        — the kernel then sees the per-shard token count (HP model only)."""
+        cfg = self._inner_cfg()
         if cfg is None or not getattr(cfg, "fused_final_head", False):
             return False
         if sample_mask is not None:
@@ -113,13 +133,12 @@ class _SegmenterBase:
             return False
         from heal_swin_tpu.ops import final_head as fh
 
-        npix = self.data_spec.dim_in
-        T = npix // cfg.patch_size  # tokens per sample (batch folds in at call time)
+        T, p = self._fused_geometry()  # tokens/sample (batch folds in at call time)
         if seq is not None and seq[1] > 1:
-            if T % seq[1] != 0:
+            if not getattr(self, "FUSED_SEQ_OK", True) or T % seq[1] != 0:
                 return False
             T //= seq[1]
-        return fh.supported(T, cfg.embed_dim, self.num_classes, cfg.patch_size,
+        return fh.supported(T, cfg.embed_dim, self.num_classes, p,
                             cfg.compute_dtype)
 
     @staticmethod
@@ -145,14 +164,13 @@ class _SegmenterBase:
         if self._fused_tail_ok(sample_mask, seq):
             from heal_swin_tpu.ops import final_head as fh
 
-            cfg = self.config.swin_hp_transformer_config
-            p = cfg.patch_size
+            _, p = self._fused_geometry()
             feats = self.model.apply(
                 params, imgs, deterministic, False, rngs=rngs, seq=seq
             )
             B, N, C = feats.shape
-            pp = params["params"]["decoder"]
-            y = targets.reshape(B * N, p)
+            pp = self._fused_params(params)
+            y = self._kernel_targets(targets)
             welem = jnp.take(
                 jnp.asarray(self.class_weights, jnp.float32), y, axis=0
             )
@@ -173,25 +191,29 @@ class _SegmenterBase:
         )
         return loss, logits
 
+    def _pred_from_kernel(self, preds, B):
+        """Kernel-layout (B*T, p) argmax indices -> the unfused predict shape."""
+        return preds.reshape(B, -1)  # HP: (B, npix)
+
     def predict(self, params, imgs):
         if self._fused_tail_ok(None):
             # serving path: argmax straight out of the fused decoder-tail kernel
             # (no (B*npix, F) logits round-trip through HBM)
             from heal_swin_tpu.ops import final_head as fh
 
-            cfg = self.config.swin_hp_transformer_config
+            _, p = self._fused_geometry()
             feats = self.model.apply(params, jnp.asarray(imgs), True, False)
             B, N, C = feats.shape
-            pp = params["params"]["decoder"]
+            pp = self._fused_params(params)
             preds = fh.fused_final_head_predict(
                 feats.reshape(B * N, C),
                 pp["up"]["expand"]["kernel"],
                 pp["up"]["norm"]["ln"]["scale"],
                 pp["up"]["norm"]["ln"]["bias"],
                 pp["output"]["kernel"],
-                patch_size=cfg.patch_size, interpret=self._fh_interpret(),
+                patch_size=p, interpret=self._fh_interpret(),
             )
-            return preds.reshape(B, N * cfg.patch_size)
+            return self._pred_from_kernel(preds, B)
         logits = self.model.apply(params, jnp.asarray(imgs), True)
         return jnp.argmax(logits, axis=-1)
 
@@ -225,9 +247,47 @@ class WoodscapeSegmenterSwin(_SegmenterBase):
     CONFIG_CLASS = WoodscapeSegmenterSwinConfig
     NAME = "swin"
     input_key = "s2_imgs"
+    FUSED_SEQ_OK = False  # the flat baseline is data-parallel only
 
     def _build_model(self, config, data_spec):
         return SwinTransformerSys(config.swin_transformer_config, data_spec)
+
+    # fused decoder-tail hooks: the flat tail is FinalPatchExpand2D -> LN -> head
+    # (models/swin_flat.py:414-419), i.e. the SAME (C, p*C)+(C,)+(C, F) math as
+    # the HP tail with p = p1*p2 — only the depth-to-space transpose differs,
+    # and it commutes with the per-element CE/confusion matrix, so targets are
+    # rearranged into the kernel's row layout instead.
+    def _inner_cfg(self):
+        cfg = getattr(self.config, "swin_transformer_config", None)
+        if cfg is None or cfg.final_upsample != "expand_first":
+            return None
+        return cfg.normalized()
+
+    def _fused_geometry(self):
+        cfg = self._inner_cfg()
+        H, W = self.data_spec.dim_in
+        p1, p2 = cfg.patch_size
+        return (H // p1) * (W // p2), p1 * p2
+
+    def _fused_params(self, params):
+        return params["params"]
+
+    def _kernel_targets(self, arr):
+        """(B, H, W) -> (B*Hp*Wp, p1*p2): token (h, w)'s sub-pixel (d1, d2) is
+        column slice d1*p2 + d2 of its expand output (FinalPatchExpand2D's
+        (B, H, W, p1, p2, C) depth-to-space order)."""
+        cfg = self._inner_cfg()
+        p1, p2 = cfg.patch_size
+        B, H, W = arr.shape
+        a = arr.reshape(B, H // p1, p1, W // p2, p2)
+        return a.transpose(0, 1, 3, 2, 4).reshape(-1, p1 * p2)
+
+    def _pred_from_kernel(self, preds, B):
+        cfg = self._inner_cfg()
+        p1, p2 = cfg.patch_size
+        H, W = self.data_spec.dim_in
+        a = preds.reshape(B, H // p1, W // p2, p1, p2)
+        return a.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +371,48 @@ class _DepthBase:
     def init_variables(self, rng, imgs):
         return self.model.init(rng, jnp.asarray(imgs), True)
 
+    def _loss_kind(self):
+        """Map the current loss_impl (which ``set_epoch`` may switch to the NLL,
+        train_uncertainty_after) to the fused kernel's static loss id."""
+        from functools import partial as _partial
+
+        from heal_swin_tpu.training import losses as L
+
+        impl = self.loss_impl
+        if impl is L.mean_log_var_loss:
+            return "nll", 1.0
+        if impl is L.mse:
+            return "l2", 1.0
+        if impl is L.l1_loss:
+            return "l1", 1.0
+        if isinstance(impl, _partial) and impl.func is L.huber_loss:
+            return "huber", float(impl.keywords.get("delta", 1.0))
+        return None, 1.0
+
+    def _fused_tail_ok(self, seq=None):
+        """Gate for the fused expand+LN+head+masked-depth-loss train path
+        (ops/final_head.py fused_final_head_depth).  Unlike the segmentation gate,
+        eval sample masks ARE supported: padded samples mask by setting their
+        targets to inf, the kernel's native exclusion mechanism."""
+        cfg = getattr(self.config, "swin_hp_transformer_config", None)
+        if cfg is None or not getattr(cfg, "fused_final_head", False):
+            return False
+        if jax.default_backend() != "tpu" and not _SegmenterBase._fh_interpret():
+            return False
+        if self._loss_kind()[0] is None:
+            return False
+        from heal_swin_tpu.ops import final_head as fh
+
+        npix = self.data_spec.dim_in
+        T = npix // cfg.patch_size
+        if seq is not None and seq[1] > 1:
+            if T % seq[1] != 0:
+                return False
+            T //= seq[1]
+        f_out = 2 if self.cd.use_logvar else 1
+        return fh.supported_depth(T, cfg.embed_dim, f_out, cfg.patch_size,
+                                  cfg.compute_dtype)
+
     def loss_fn(self, params, imgs, targets, rng=None, deterministic=True, sample_mask=None,
                 axis_names=None, seq=None):
         """targets come from the dataloader already in network (transformed+normalized)
@@ -318,6 +420,35 @@ class _DepthBase:
         (model_lightning_depth_swin_hp.py:132-143); the loss runs in that space.
         ``axis_names``/``seq``: sharded execution — see _SegmenterBase.loss_fn."""
         rngs = _task_rngs(rng, seq)
+        if self._fused_tail_ok(seq):
+            from heal_swin_tpu.ops import final_head as fh
+
+            cfg = self.config.swin_hp_transformer_config
+            p = cfg.patch_size
+            kind, delta = self._loss_kind()
+            feats = self.model.apply(
+                params, imgs, deterministic, False, rngs=rngs, seq=seq
+            )
+            B, N, C = feats.shape
+            pp = params["params"]["decoder"]
+            t = targets
+            if sample_mask is not None:
+                m = jnp.reshape(
+                    sample_mask, sample_mask.shape + (1,) * (t.ndim - sample_mask.ndim)
+                )
+                t = jnp.where(m, t, jnp.inf)  # kernel-native exclusion
+            F = 2 if self.cd.use_logvar else 1
+            loss, preds = fh.fused_final_head_depth(
+                feats.reshape(B * N, C),
+                pp["up"]["expand"]["kernel"],
+                pp["up"]["norm"]["ln"]["scale"],
+                pp["up"]["norm"]["ln"]["bias"],
+                pp["output"]["kernel"],
+                t.reshape(B * N, p), patch_size=p, loss_kind=kind,
+                huber_delta=delta, interpret=_SegmenterBase._fh_interpret(),
+                axis_names=axis_names,
+            )
+            return loss, preds.reshape(B, N * p, F)
         out = self.model.apply(params, imgs, deterministic, rngs=rngs, seq=seq)
         t = targets
         if sample_mask is not None:

@@ -344,6 +344,381 @@ def _jnp_bwd(x, we_s, gamma, beta, wh, y, welem, scale, *, p, C, F):
     return (dx_acc.astype(x.dtype), jnp.stack(dwe), dwh_acc, dg_acc, db_acc)
 
 
+# --------------------------------------------------------------------------- depth
+# Depth-regression variant of the fused tail (VERDICT r2 item 2): the SAME
+# expand+LN+head region (reference swin_hp_transformer.py:765-791) with f_out 1-2
+# and the masked depth losses (training/losses.py mse/l1_loss/huber_loss/
+# mean_log_var_loss, reference loss_depth_regression.py:9-83) computed in-kernel.
+# The head is f_out<=2 wide, so instead of an MXU dot it is a lane-wise
+# multiply + reduce per channel; the kernel emits the (T, p) per-channel
+# predictions (tiny — npix floats) so the trainer's metric_update runs unchanged.
+
+
+def _depth_loss_vals(lf, ti, valid, *, kind, delta):
+    """Per-element loss values on one slice.  lf: list of F (rblk, 1) f32 logits;
+    ti: (rblk, 1) f32 targets (inf = masked); returns (rblk, 1) f32 vals (garbage at
+    invalid rows — caller masks).  Mirrors training/losses.py semantics."""
+    d = lf[0] - jnp.where(valid, ti, 0.0)  # _masked_diff: no inf in the arithmetic
+    d = jnp.where(valid, d, 0.0)
+    if kind == "l2":
+        return 0.5 * d * d
+    if kind == "l1":
+        return jnp.abs(d)
+    if kind == "huber":
+        ad = jnp.abs(d)
+        return jnp.where(ad < delta, 0.5 * ad * ad / delta, ad - 0.5 * delta)
+    if kind == "nll":
+        lv = jnp.where(valid, lf[1], 0.0)
+        return 0.5 * lv + (0.5 * d * d) * jnp.exp(-lv)
+    raise ValueError(kind)
+
+
+def _depth_loss_grads(lf, ti, valid, *, kind, delta):
+    """d vals / d logits on one slice; list of F (rblk, 1) f32 (0 at invalid)."""
+    d = lf[0] - jnp.where(valid, ti, 0.0)
+    d = jnp.where(valid, d, 0.0)
+    F = len(lf)
+    if kind == "l2":
+        g0 = d
+    elif kind == "l1":
+        g0 = jnp.sign(d)
+    elif kind == "huber":
+        g0 = jnp.where(jnp.abs(d) < delta, d / delta, jnp.sign(d))
+    elif kind == "nll":
+        lv = jnp.where(valid, lf[1], 0.0)
+        e = jnp.exp(-lv)
+        g0 = d * e
+        g1 = jnp.where(valid, 0.5 - (0.5 * d * d) * e, 0.0)
+        return [jnp.where(valid, g0, 0.0), g1]
+    else:
+        raise ValueError(kind)
+    out = [jnp.where(valid, g0, 0.0)]
+    if F > 1:  # logvar channel present but loss not yet switched to NLL
+        out.append(jnp.zeros_like(g0))
+    return out
+
+
+def _depth_rows(x, we_i, gamma, beta, wh, F):
+    """Shared expand+LN+head math on one slice.  Returns (z_f32 of the bf16-rounded
+    LN output, xhat, rstd, logits list of (rblk, 1) f32).  wh: (F, C) in x.dtype —
+    products upcast to f32 so the lane-reduce matches the XLA bf16-dot-f32-accum."""
+    h = jax.lax.dot_general(
+        x, we_i, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    z, xhat, rstd = _ln_rows(h.astype(jnp.float32), gamma, beta)
+    z = z.astype(x.dtype).astype(jnp.float32)
+    logits = [
+        jnp.sum(z * wh[f:f + 1, :].astype(jnp.float32), axis=-1, keepdims=True)
+        for f in range(F)
+    ]
+    return z, xhat, rstd, logits
+
+
+def _fwd_kernel_depth(x_ref, we_ref, g_ref, b_ref, wh_ref, t_ref,
+                      num_ref, den_ref, preds_ref, *, p, C, F, kind, delta):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        num_ref[...] = jnp.zeros_like(num_ref)
+        den_ref[...] = jnp.zeros_like(den_ref)
+
+    x = x_ref[...]
+    gamma = g_ref[...]
+    beta = b_ref[...]
+    wh = wh_ref[...]  # (F, C)
+    num = jnp.zeros((), jnp.float32)
+    den = jnp.zeros((), jnp.float32)
+    for i in range(p):
+        _, _, _, lf = _depth_rows(x, we_ref[i], gamma, beta, wh, F)
+        ti = t_ref[:, i:i + 1]
+        valid = jnp.isfinite(ti)
+        vals = _depth_loss_vals(lf, ti, valid, kind=kind, delta=delta)
+        num += jnp.sum(jnp.where(valid, vals, 0.0))
+        den += jnp.sum(valid.astype(jnp.float32))
+        for f in range(F):
+            preds_ref[:, i * F + f:i * F + f + 1] = lf[f].astype(preds_ref.dtype)
+    num_ref[...] = num_ref[...] + num
+    den_ref[...] = den_ref[...] + den
+
+
+def _bwd_kernel_depth(x_ref, we_ref, g_ref, b_ref, wh_ref, t_ref, scale_ref,
+                      dx_ref, dwe_ref, dwh_ref, dg_ref, db_ref, *, p, C, F, kind, delta):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwe_ref[...] = jnp.zeros_like(dwe_ref)
+        dwh_ref[...] = jnp.zeros_like(dwh_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x = x_ref[...]
+    gamma = g_ref[...]
+    beta = b_ref[...]
+    wh = wh_ref[...]
+    scale = scale_ref[...]  # (1, 1): gloss / den
+    dx_acc = jnp.zeros((x.shape[0], C), jnp.float32)
+    # per-channel row accumulators (F <= 2): a functional .at[].add on a VMEM
+    # value would lower to a dynamic-update-slice Mosaic can't always tile
+    dwh_rows = [jnp.zeros((1, C), jnp.float32) for _ in range(F)]
+    dg_acc = jnp.zeros((1, C), jnp.float32)
+    db_acc = jnp.zeros((1, C), jnp.float32)
+    for i in range(p):
+        we_i = we_ref[i]
+        z, xhat, rstd, lf = _depth_rows(x, we_i, gamma, beta, wh, F)
+        ti = t_ref[:, i:i + 1]
+        valid = jnp.isfinite(ti)
+        gs = _depth_loss_grads(lf, ti, valid, kind=kind, delta=delta)
+        # dz = sum_f dlogit_f * wh_f; dwh_f = sum_rows dlogit_f * z
+        dz = jnp.zeros((x.shape[0], C), jnp.float32)
+        for f in range(F):
+            dlog = scale * gs[f]  # (rblk, 1) f32
+            whf = wh[f:f + 1, :].astype(jnp.float32)
+            dz = dz + dlog * whf
+            dwh_rows[f] = dwh_rows[f] + jnp.sum(dlog * z, axis=0, keepdims=True)
+        dg_acc += jnp.sum(dz * xhat, axis=0, keepdims=True)
+        db_acc += jnp.sum(dz, axis=0, keepdims=True)
+        dzh = dz * gamma
+        dh = rstd * (
+            dzh
+            - jnp.mean(dzh, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dzh * xhat, axis=-1, keepdims=True)
+        )
+        dh_lo = dh.astype(x.dtype)
+        dx_acc += jax.lax.dot_general(
+            dh_lo, we_i, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dwe_ref[i] += jax.lax.dot_general(
+            x, dh_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    dx_ref[...] = dx_acc.astype(dx_ref.dtype)
+    dwh_ref[...] += jnp.concatenate(dwh_rows, axis=0)
+    dg_ref[...] += dg_acc
+    db_ref[...] += db_acc
+
+
+def _jnp_fwd_depth(x, we_s, gamma, beta, wh, t, *, p, C, F, kind, delta):
+    """Pure-jnp twin of ``_fwd_kernel_depth`` (see _jnp_fwd for why it exists)."""
+    num = jnp.zeros((), jnp.float32)
+    den = jnp.zeros((), jnp.float32)
+    preds = []
+    for i in range(p):
+        _, _, _, lf = _depth_rows(x, we_s[i], gamma, beta, wh, F)
+        ti = t[:, i:i + 1]
+        valid = jnp.isfinite(ti)
+        vals = _depth_loss_vals(lf, ti, valid, kind=kind, delta=delta)
+        num += jnp.sum(jnp.where(valid, vals, 0.0))
+        den += jnp.sum(valid.astype(jnp.float32))
+        preds.append(jnp.concatenate([v.astype(x.dtype) for v in lf], axis=-1))
+    return num.reshape(1, 1), den.reshape(1, 1), jnp.concatenate(preds, axis=-1).reshape(
+        x.shape[0], p * F
+    )
+
+
+def _jnp_bwd_depth(x, we_s, gamma, beta, wh, t, scale, *, p, C, F, kind, delta):
+    """Pure-jnp twin of ``_bwd_kernel_depth``."""
+    dx_acc = jnp.zeros((x.shape[0], C), jnp.float32)
+    dwh_acc = jnp.zeros((F, C), jnp.float32)
+    dg_acc = jnp.zeros((1, C), jnp.float32)
+    db_acc = jnp.zeros((1, C), jnp.float32)
+    dwe = []
+    for i in range(p):
+        we_i = we_s[i]
+        z, xhat, rstd, lf = _depth_rows(x, we_i, gamma, beta, wh, F)
+        ti = t[:, i:i + 1]
+        valid = jnp.isfinite(ti)
+        gs = _depth_loss_grads(lf, ti, valid, kind=kind, delta=delta)
+        dz = jnp.zeros((x.shape[0], C), jnp.float32)
+        for f in range(F):
+            dlog = scale * gs[f]
+            whf = wh[f:f + 1, :].astype(jnp.float32)
+            dz = dz + dlog * whf
+            dwh_acc = dwh_acc.at[f:f + 1, :].add(
+                jnp.sum(dlog * z, axis=0, keepdims=True)
+            )
+        dg_acc += jnp.sum(dz * xhat, axis=0, keepdims=True)
+        db_acc += jnp.sum(dz, axis=0, keepdims=True)
+        dzh = dz * gamma
+        dh = rstd * (
+            dzh
+            - jnp.mean(dzh, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dzh * xhat, axis=-1, keepdims=True)
+        )
+        dh_lo = dh.astype(x.dtype)
+        dx_acc += jax.lax.dot_general(
+            dh_lo, we_i, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dwe.append(jax.lax.dot_general(
+            x, dh_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+    return (dx_acc.astype(x.dtype), jnp.stack(dwe), dwh_acc, dg_acc, db_acc)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_depth(T: int, C: int, F: int, p: int, rblk: int, dtype_name: str,
+                      kind: str, delta: float, interpret: bool, axes):
+    """Depth twin of ``_make_fused``: loss num/den psum'd over ``axes`` (exact
+    global masked mean); the emitted (T, p*F) predictions stay SHARD-LOCAL (they
+    are this shard's token slice, which is exactly what the trainer's
+    metric_update expects under sequence parallelism)."""
+    from heal_swin_tpu.ops.vma_util import with_vma
+
+    dtype = jnp.dtype(dtype_name)
+    grid = (T // rblk,)
+    kargs = dict(p=p, C=C, F=F, kind=kind, delta=delta)
+
+    def _fwd_call(x, *rest):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_depth, **kargs),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rblk, p * F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=with_vma([
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((T, p * F), dtype),
+            ], x),
+            interpret=interpret,
+        )(x, *rest)
+
+    def _bwd_call(x, *rest):
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_depth, **kargs),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rblk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=with_vma([
+                jax.ShapeDtypeStruct((T, C), dtype),
+                jax.ShapeDtypeStruct((p, C, C), jnp.float32),
+                jax.ShapeDtypeStruct((F, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ], x),
+            interpret=interpret,
+        )(x, *rest)
+
+    def _split_we(we, like_dtype):
+        return we.reshape(C, p, C).transpose(1, 0, 2).astype(like_dtype)
+
+    def _jnp_twin(x):
+        return interpret and bool(getattr(jax.typeof(x), "vma", frozenset()))
+
+    def _prep(x, we, gamma, beta, wh):
+        from heal_swin_tpu.ops.vma_util import pcast_like
+
+        return (
+            pcast_like(_split_we(we, x.dtype), x),
+            pcast_like(gamma.reshape(1, C).astype(jnp.float32), x),
+            pcast_like(beta.reshape(1, C).astype(jnp.float32), x),
+            pcast_like(wh.T.astype(x.dtype), x),  # (F, C) lane layout
+        )
+
+    def _run_fwd(x, we, gamma, beta, wh, t):
+        call = (functools.partial(_jnp_fwd_depth, **kargs) if _jnp_twin(x)
+                else _fwd_call)
+        num, den, preds = call(x, *_prep(x, we, gamma, beta, wh), t)
+        num, den = num[0, 0], den[0, 0]
+        if axes:
+            from heal_swin_tpu.parallel.sequence import psum_tree
+
+            num, den = psum_tree((num, den), axes)
+        den_s = jnp.maximum(den, 1.0)  # losses.py _masked_mean: max(cnt, 1)
+        return num / den_s, den_s, preds
+
+    @jax.custom_vjp
+    def fused(x, we, gamma, beta, wh, t):
+        loss, _, preds = _run_fwd(x, we, gamma, beta, wh, t)
+        return loss, preds
+
+    def fwd_rule(x, we, gamma, beta, wh, t):
+        loss, den_s, preds = _run_fwd(x, we, gamma, beta, wh, t)
+        return (loss, preds), (x, we, gamma, beta, wh, t, den_s)
+
+    def bwd_rule(res, cts):
+        # the emitted predictions are a metrics tap (the trainer's has_aux
+        # output); like the seg confusion matrix they carry no gradient
+        gloss, _ = cts
+        x, we, gamma, beta, wh, t, den_s = res
+        scale = (gloss / den_s).astype(jnp.float32).reshape(1, 1)
+        from heal_swin_tpu.ops.vma_util import pcast_like
+
+        call = (functools.partial(_jnp_bwd_depth, **kargs) if _jnp_twin(x)
+                else _bwd_call)
+        dx, dwe_r, dwh_t, dg, db = call(
+            x, *_prep(x, we, gamma, beta, wh), t, pcast_like(scale, x)
+        )
+        dwe = dwe_r.transpose(1, 0, 2).reshape(C, p * C)
+        from heal_swin_tpu.parallel.sequence import match_vma
+
+        return (dx, match_vma(dwe.astype(we.dtype), we),
+                match_vma(dg.reshape(C).astype(gamma.dtype), gamma),
+                match_vma(db.reshape(C).astype(beta.dtype), beta),
+                match_vma(dwh_t.T.astype(wh.dtype), wh), None)
+
+    fused.defvjp(fwd_rule, bwd_rule)
+    return fused
+
+
+def supported_depth(T: int, C: int, F: int, p: int, dtype) -> bool:
+    return (
+        jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32))
+        and C % 8 == 0
+        and F in (1, 2)
+        and pick_rblk(T, C, p) is not None
+    )
+
+
+def fused_final_head_depth(x, we, gamma, beta, wh, target, *, patch_size: int,
+                           loss_kind: str, huber_delta: float = 1.0,
+                           rblk: int | None = None, interpret: bool = False,
+                           axis_names=None):
+    """Fused expand+LN+head+masked-depth-loss.  x: (T, C) tokens after norm_up;
+    we/gamma/beta as in ``fused_final_head``; wh: (C, F) head kernel with F in
+    (1, 2); target: (T, p) f32 network-space depths with inf = background.
+    loss_kind: "l2" | "l1" | "huber" | "nll" (nll = mean_log_var_loss, needs F=2;
+    with F=2 and a non-nll kind the logvar channel gets zero gradient — the
+    reference's pre-``train_uncertainty_after`` phase).
+
+    Returns (loss, preds (T, p*F) in x.dtype) where preds[:, i*F+f] is output
+    channel f of sub-pixel i — reshape to (B, npix, F) for metric_update.  Loss
+    equals training/losses.py on the unfused (T*p, F) output to f32 rounding.
+    ``axis_names``: see fused_final_head (loss num/den psum'd; preds shard-local).
+    """
+    T, C = x.shape
+    F = wh.shape[-1]
+    p = patch_size
+    if rblk is None:
+        rblk = pick_rblk(T, C, p)
+    if rblk is None:
+        raise ValueError(f"fused_final_head_depth: no supported row block for T={T}")
+    axes = tuple(axis_names) if axis_names is not None else None
+    fn = _make_fused_depth(T, C, F, p, rblk, str(x.dtype), loss_kind,
+                           float(huber_delta), interpret, axes)
+    return fn(x, we, gamma, beta, wh, jnp.asarray(target, jnp.float32))
+
+
 def pick_rblk(T: int, C: int, p: int) -> int | None:
     for rblk in (512, 256, 128):
         if T % rblk == 0:

@@ -373,3 +373,83 @@ def test_fused_head_nan_rows_do_not_alias_confmat(ops):
         interpret=True, rblk=128,
     )
     assert int(jnp.max(preds)) <= F - 1 and int(jnp.min(preds)) >= 0
+
+
+def test_flat_task_fused_path_matches_plain(monkeypatch):
+    """Flat SWIN segmentation task with fused_final_head=True: the depth-to-space
+    transpose commutes with the per-element CE, so the HP kernel with p=p1*p2 and
+    rearranged targets must reproduce the plain path's loss, gradients and epoch
+    metrics (VERDICT r2 item 2, flat half)."""
+    monkeypatch.setenv("HEAL_SWIN_FH_INTERPRET", "1")
+    import dataclasses
+
+    from heal_swin_tpu.data.data_spec import DataSpec
+    from heal_swin_tpu.models.swin_flat import SwinTransformerConfig
+    from heal_swin_tpu.models.tasks import (
+        WoodscapeSegmenterSwin,
+        WoodscapeSegmenterSwinConfig,
+    )
+
+    H, W = 32, 64
+    cfg = SwinTransformerConfig(
+        patch_size=2, window_size=4, shift_size=1, embed_dim=8, depths=[2, 1],
+        num_heads=[2, 2], drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+    )
+    spec = DataSpec(dim_in=(H, W), f_in=3, f_out=5)
+    weights = [1.0, 2.0, 0.5, 1.0, 1.0]
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.normal(size=(2, H, W, 3)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 5, size=(2, H, W)), jnp.int32)
+
+    def build(fused):
+        c = dataclasses.replace(cfg, fused_final_head=fused)
+        task = WoodscapeSegmenterSwin(
+            WoodscapeSegmenterSwinConfig(swin_transformer_config=c,
+                                         class_weights=weights),
+            spec,
+        )
+        params = jax.jit(task.init_variables)(jax.random.PRNGKey(0), imgs[:1])
+        return task, params
+
+    task_p, params = build(False)
+    task_f, params_f = build(True)
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: jnp.array_equal(a, b), params, params_f)
+    )
+    assert task_f._fused_tail_ok(None) and not task_p._fused_tail_ok(None)
+    # the fused gate picks a 128-row block: (H/2)*(W/2)*B = 1024 rows — ok
+    assert not task_f._fused_tail_ok(None, seq=("seq", 2))  # flat: no seq sharding
+
+    def loss_of(task):
+        def f(p):
+            loss, out = task.loss_fn(p, imgs, targets, deterministic=True)
+            return loss, out
+        return f
+
+    (loss_p, logits), grads_p = jax.value_and_grad(loss_of(task_p), has_aux=True)(params)
+    (loss_f, cm), grads_f = jax.value_and_grad(loss_of(task_f), has_aux=True)(params)
+    assert abs(float(loss_p) - float(loss_f)) < 1e-5
+    assert cm.shape == (5, 5) and float(jnp.sum(cm)) == 2 * H * W
+
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(grads_p)
+    flat_f, _ = jax.tree_util.tree_flatten(grads_f)
+    for (path, a), b in zip(flat_p, flat_f):
+        d = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert d / max(s, 1e-6) < 5e-4, (jax.tree_util.keystr(path), d, s)
+
+    m_p = task_p.metric_compute(
+        task_p.metric_update(task_p.metric_init(), logits, targets), "train_"
+    )
+    m_f = task_f.metric_compute(
+        task_f.metric_update(task_f.metric_init(), cm, targets), "train_"
+    )
+    assert m_p.keys() == m_f.keys()
+    for k in m_p:
+        assert m_p[k] == pytest.approx(m_f[k], abs=1e-6), k
+
+    # fused predict must equal argmax over the plain logits, pixel for pixel
+    preds_f = task_f.predict(params, imgs)
+    preds_p = task_p.predict(params, imgs)
+    assert preds_f.shape == preds_p.shape == (2, H, W)
+    assert float(jnp.mean((preds_f == preds_p).astype(jnp.float32))) > 0.999
