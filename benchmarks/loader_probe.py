@@ -23,6 +23,8 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 n_per_cam = int(os.environ.get("LOADER_N_PER_CAM", 16))
 root = Path(os.environ.get("LOADER_DATA_DIR", f"/tmp/heal_swin_loader_data{n_per_cam}"))
 os.environ["HEAL_SWIN_DATA_ROOT"] = str(root)

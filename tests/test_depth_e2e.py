@@ -27,6 +27,43 @@ def test_chamfer_kernel_matches_bruteforce():
     assert np.isnan(chamfer_distance(np.zeros((0, 3)), q))
 
 
+def test_chamfer_pallas_matches_jnp_and_bruteforce():
+    """The TPU Pallas chamfer (VPU distance blocks, O(N+M) memory) must agree
+    with the jnp tiled-matmul path and an f64 brute-force oracle, including
+    masking/bucket padding and ragged side sizes."""
+    from heal_swin_tpu.ops import chamfer as ch
+
+    rng = np.random.default_rng(3)
+    for n, m in [(1500, 3000), (2048, 2048), (700, 5000)]:
+        p = rng.normal(size=(n, 3)).astype(np.float32) * 10
+        q = rng.normal(size=(m, 3)).astype(np.float32) * 10 + 1.0
+        bp, bq = ch._bucket(n), ch._bucket(m)
+        assert bp % ch._PT == 0 and bp % ch._QT == 0  # either side of the kernel
+        pp = np.zeros((bp, 3), np.float32)
+        pp[:n] = p
+        qp = np.zeros((bq, 3), np.float32)
+        qp[:m] = q
+        pv, qv = np.arange(bp) < n, np.arange(bq) < m
+        a = float(ch.chamfer_distance_masked(pp, qp, pv, qv))
+        b = float(ch.chamfer_distance_masked_pallas(pp, qp, pv, qv, interpret=True))
+        d2 = ((p[:, None].astype(np.float64) - q[None].astype(np.float64)) ** 2).sum(-1)
+        ref = d2.min(1).mean() + d2.min(0).mean()
+        assert abs(a - b) < 1e-4 * max(1.0, abs(ref))
+        assert abs(b - ref) / ref < 1e-5
+
+
+def test_chamfer_bucket_properties():
+    from heal_swin_tpu.ops.chamfer import _PT, _QT, _bucket
+
+    prev = 0
+    for n in [1, 512, 2049, 3000, 3073, 100_000, 1_240_000]:
+        b = _bucket(n)
+        assert b >= n and b % _PT == 0 and b % _QT == 0
+        assert b <= max(2048, int(n * 1.5) + _QT)  # ~1.5x max padded work
+        assert b >= prev
+        prev = b
+
+
 def test_depth_metrics_reference_semantics():
     from heal_swin_tpu.evaluation import depth_metrics_np as dm
 
