@@ -768,14 +768,26 @@ class Trainer:
             for imgs, targets in itertools.islice(iter(loader), n):
                 yield (self._pad_batch(imgs, targets),)
 
+        # steady-state throughput excludes the first batch's compile (this
+        # environment's remote compile is not cached across processes); the
+        # per-batch float() fetch is the sync point, so the timer is honest
+        t_steady, count_at_steady = None, 0.0
         for ((imgs_d, targets_d, mask_d),) in self._device_prefetch(staged_val_batches()):
             mstate, batch_loss, valid = eval_step(params, mstate, imgs_d, targets_d, mask_d)
             loss_sum += float(batch_loss)
             count += float(valid)
+            if t_steady is None:
+                t_steady, count_at_steady = time.perf_counter(), count
 
         metrics = task.metric_compute(mstate, metrics_prefix, with_per_class=with_per_class)
         if count:
             metrics[f"{metrics_prefix}loss"] = loss_sum / count
+        # for eval-throughput reporting (evaluate.py)
+        self.last_eval_samples = count
+        self.last_eval_steady_samples = count - count_at_steady
+        self.last_eval_steady_time = (
+            time.perf_counter() - t_steady if t_steady is not None else 0.0
+        )
         if log:
             self._log(metrics)
         return metrics
@@ -805,15 +817,26 @@ class Trainer:
             # best/worst writers re-predict individual samples (reference :226-364)
             writer.set_predict_fn(lambda imgs: np.asarray(predict_fn(params, jnp.asarray(imgs))))
         outputs = []
+        # for eval-throughput reporting (evaluate.py); steady-state excludes the
+        # first batch (compile) — the np.asarray fetch is the sync point
+        self.last_predict_samples = 0
+        t_steady, at_steady = None, 0
         for i, batch in enumerate(loader):
             if i >= n:
                 break
             imgs = batch[task.input_key]
             preds = np.asarray(predict_fn(params, jnp.asarray(imgs)))
+            self.last_predict_samples += len(preds)
             if writer is not None:
                 writer.write_on_batch_end(preds, batch, i)
             else:
                 outputs.append(preds)
+            if t_steady is None:
+                t_steady, at_steady = time.perf_counter(), self.last_predict_samples
+        self.last_predict_steady_samples = self.last_predict_samples - at_steady
+        self.last_predict_steady_time = (
+            time.perf_counter() - t_steady if t_steady is not None else 0.0
+        )
         if writer is not None:
             writer.on_predict_epoch_end()
             return None

@@ -81,6 +81,29 @@ def get_train_run_config():
     )
 
 
+def get_eval_run_config():
+    """Headline-metric evaluation on an existing smoke run:
+    ``RUN_ID=<id> python run.py evaluate --config_path <this file>`` runs
+    validate plus the back-projection writer at proj_res 966 (the paper's
+    `back_projected_hp_masked_iou_res_640_768` pipeline) on hardware, logging
+    eval throughput (docs/TPU_SMOKE.md)."""
+    from heal_swin_tpu.evaluation.evaluate_config import EvaluateConfig
+    from heal_swin_tpu.training.train_config import TrainConfig
+
+    _ensure_fixture()
+    cfg = get_train_run_config()
+    return EvaluateConfig(
+        path=os.environ["RUN_ID"],
+        epoch="best",
+        pred_writer="back_projected_hp_masked_iou",
+        validate=True,
+        predict=True,
+        top_k=1,
+        train_config=TrainConfig(mlflow_expmt="tpu_smoke"),
+        data_config=cfg.data,
+    )
+
+
 def get_pl_config():
     from heal_swin_tpu.training.train_config import PLConfig
 
@@ -88,7 +111,8 @@ def get_pl_config():
         max_epochs=MAX_EPOCHS,
         check_val_every_n_epoch=5,
         limit_val_batches=2,
-        limit_predict_batches=1,
+        limit_predict_batches=2,  # >=2: the steady-state eval-throughput window
+        # excludes the first (compile-carrying) batch
         log_every_n_steps=10**6,  # per-step host syncs add ~tens of ms tunnel latency
         num_sanity_val_steps=0,
     )
