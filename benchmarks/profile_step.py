@@ -38,12 +38,29 @@ params = jax.jit(model.init, static_argnums=2)(rng, x, True)
 tx = optax.adam(9.55e-4)
 opt_state = jax.jit(tx.init)(params)
 
+# PROF_TASK=1: profile the production fused-tail task path instead of the plain
+# weighted-CE tail (the headline bench's shape)
+task = None
+if os.environ.get("PROF_TASK"):
+    from heal_swin_tpu.models.tasks import (
+        WoodscapeSegmenterSwinHP, WoodscapeSegmenterSwinHPConfig,
+    )
+
+    cfg.fused_final_head = True
+    task = WoodscapeSegmenterSwinHP(
+        WoodscapeSegmenterSwinHPConfig(swin_hp_transformer_config=cfg), spec
+    )
+    task.model = model
+    assert task._fused_tail_ok(None)
+
 import functools
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def step(params, opt_state, x, y, srng):
     def loss_fn(p):
+        if task is not None:
+            return task.loss_fn(p, x, y, rng=srng, deterministic=False)[0]
         return weighted_cross_entropy(
             model.apply(p, x, False, rngs={"dropout": srng}), y
         )

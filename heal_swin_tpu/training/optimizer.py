@@ -39,7 +39,13 @@ class OptimizerConfig:
 
 
 def make_optimizer(config: OptimizerConfig, gradient_clip_val: float = 0.0):
-    """Returns an optax GradientTransformation with injected `learning_rate`."""
+    """Returns an optax GradientTransformation with injected `learning_rate`.
+
+    The chained ``clip_by_global_norm`` costs ~1.8 ms/update at paper scale —
+    but that is the global-norm reduce pass + its barrier, not the scaled-grad
+    materialization: a hand-fused clip-into-adam single-pass transform measured
+    IDENTICAL (benchmarks/opt_update_probe.py, docs/PERFORMANCE.md rejected
+    log), so the plain optax chain stays."""
 
     @optax.inject_hyperparams
     def _make(learning_rate):

@@ -241,3 +241,22 @@ def test_precision_16_maps_to_bfloat16():
     )
     outp = apply_precision(pinned, PLConfig(precision=16))
     assert outp.model.swin_hp_transformer_config.dtype == "float32"
+
+
+def test_make_optimizer_clipped_still_clips(tmp_path):
+    """make_optimizer with gradient_clip_val>0: huge synthetic grads come out
+    globally clipped (update magnitude bounded) and the injected lr stays
+    adjustable."""
+    from heal_swin_tpu.training.optimizer import (
+        OptimizerConfig, get_learning_rate, make_optimizer, set_learning_rate,
+    )
+
+    params = {"w": jnp.zeros((8, 8), jnp.float32)}
+    tx = make_optimizer(OptimizerConfig(learning_rate=1.0), gradient_clip_val=1.0)
+    state = tx.init(params)
+    grads = {"w": jnp.full((8, 8), 1e6, jnp.float32)}
+    updates, state = jax.jit(tx.update)(grads, state, params)
+    # after global-norm clip to 1.0 the adam step is ~ -lr * sign-ish; bounded
+    assert float(jnp.abs(updates["w"]).max()) < 10.0
+    state = set_learning_rate(state, 0.5)
+    assert get_learning_rate(state) == 0.5
