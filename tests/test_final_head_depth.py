@@ -101,7 +101,7 @@ def test_depth_kernel_gradients_match_reference(ops, kind, F, delta):
         assert d / s < 2e-5, (name, d / s)
 
 
-def _build_depth_task(fused, use_logvar=False, loss="l2"):
+def _build_depth_task(fused, use_logvar=False, loss="l2", nside=8):
     from heal_swin_tpu.data.data_spec import DepthDataSpec
     from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig
     from heal_swin_tpu.models.tasks import (
@@ -110,7 +110,6 @@ def _build_depth_task(fused, use_logvar=False, loss="l2"):
         WoodscapeDepthSwinHPConfig,
     )
 
-    nside = 8
     npix = 8 * nside * nside
     cfg = SwinHPTransformerConfig(
         patch_size=4, window_size=16, shift_size=8, shift_strategy="ring_shift",
@@ -215,3 +214,62 @@ def test_depth_logvar_uses_nll_kind(monkeypatch):
     for loss, kind in [("l2", "l2"), ("l1", "l1"), ("huber", "huber")]:
         t2, _ = _build_depth_task(True, use_logvar=False, loss=loss)
         assert t2._loss_kind()[0] == kind and t2._fused_tail_ok()
+
+
+@pytest.mark.parametrize("use_logvar", [False, True])
+def test_depth_fused_tail_under_shard_map(monkeypatch, use_logvar):
+    """Fused depth tail ACTIVE inside shard_map over a (dp=2, sp=2) mesh ==
+    the plain (unfused, unsharded) loss/gradients: pins the kernel's psum'd
+    loss num/den (`fused_final_head_depth(axis_names=...)`), the vma-stamped
+    out-shapes, and the match_vma'd weight cotangents under check_vma — the
+    depth analogue of test_sequence_parallel.py::test_forced_shmap_fused_tail
+    _matches_plain.  Tolerances are fused-vs-plain kernel noise (f32-close)."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as PSpec
+
+    monkeypatch.setenv("HEAL_SWIN_FH_INTERPRET", "1")
+    # per-shard token count must stay kernel-supported (pick_rblk: T_shard % 128
+    # == 0), so nside 16 -> T = 512 tokens, 256 per seq shard
+    task_f, npix = _build_depth_task(True, use_logvar, nside=16)
+    task_p, _ = _build_depth_task(False, use_logvar, nside=16)
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.normal(size=(2, npix, 3)), jnp.float32)
+    t = rng.normal(size=(2, npix)).astype(np.float32)
+    t[rng.uniform(size=(2, npix)) < 0.3] = np.inf
+    targets = jnp.asarray(t)
+
+    params = jax.jit(task_p.init_variables)(jax.random.PRNGKey(0), imgs[:1])
+
+    (loss_p, _), grads_p = jax.jit(jax.value_and_grad(
+        lambda p: task_p.loss_fn(p, imgs, targets, deterministic=True),
+        has_aux=True,
+    ))(params)
+
+    dp, sp = 2, 2
+    mesh = Mesh(np.asarray(jax.devices()[: dp * sp]).reshape(dp, sp),
+                ("data", "seq"))
+    axes = ("data", "seq")
+    assert task_f._fused_tail_ok(seq=("seq", sp))
+
+    def grad_body(p, imgs, targets):
+        def lf(p):
+            return task_f.loss_fn(p, imgs, targets, deterministic=True,
+                                  axis_names=axes, seq=("seq", sp))[0]
+
+        return jax.value_and_grad(lf)(p)
+
+    loss_f, grads_f = jax.jit(jax.shard_map(
+        grad_body, mesh=mesh,
+        in_specs=(PSpec(), PSpec("data", "seq"), PSpec("data", "seq")),
+        out_specs=(PSpec(), PSpec()), check_vma=True,
+    ))(params, imgs, targets)
+
+    assert float(loss_p) == pytest.approx(float(loss_f), rel=2e-5, abs=1e-7)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(grads_p)
+    flat_f, _ = jax.tree_util.tree_flatten(grads_f)
+    assert len(flat_p) == len(flat_f)
+    for (path, a), b in zip(flat_p, flat_f):
+        d = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert d / max(s, 1e-6) < 5e-4, (jax.tree_util.keystr(path), d, s)
