@@ -258,7 +258,16 @@ class TrackingServer:
 
 def serve(mlruns=None, port: int = 5000, host: str = "0.0.0.0"):
     """Blocking entry point for the CLI (start-mlflow-server)."""
+    import signal
+
     server = TrackingServer(mlruns, port, host).start()
     print(f"tracking server listening on http://{server.host}:{server.port} "
           f"over {server.root} (lockfile {server.lock})")
+    # a stale lockfile makes every later start abort and get_tracking_uri point
+    # at a dead server, so clean up on SIGTERM too (kill, not just ctrl-C); the
+    # raise unwinds serve_forever in the main thread, whose finally runs stop()
+    def _term(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     server.serve_forever()
