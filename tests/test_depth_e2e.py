@@ -353,3 +353,29 @@ def test_depth_project_on_device_matches_npz(env):
     assert (np.isfinite(hp_masks) == np.isfinite(npz_masks)).all()
     np.testing.assert_allclose(hp_masks[both_finite], npz_masks[both_finite],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chamfer_pallas_qchunk_split(monkeypatch):
+    """The wrapper's static q-side chunking (chamfer.py _QCHUNK, used above 2^21
+    points at paper full_res scale) must reproduce the single-chunk result: the
+    per-chunk row-min folds and the col-min concatenation are exact.  Forced
+    here by shrinking _QCHUNK to one _QT tile (shapes distinct from the other
+    tests so the jit cache cannot reuse a single-chunk trace)."""
+    from heal_swin_tpu.ops import chamfer as ch
+
+    rng = np.random.default_rng(9)
+    n = m = 4000  # bucket 4096 -> 4 chunks of _QT=1024
+    p = rng.normal(size=(n, 3)).astype(np.float32) * 5
+    q = rng.normal(size=(m, 3)).astype(np.float32) * 5 - 2.0
+    bp, bq = ch._bucket(n), ch._bucket(m)
+    assert bq > ch._QT
+    pp = np.zeros((bp, 3), np.float32)
+    pp[:n] = p
+    qp = np.zeros((bq, 3), np.float32)
+    qp[:m] = q
+    pv, qv = np.arange(bp) < n, np.arange(bq) < m
+
+    monkeypatch.setattr(ch, "_QCHUNK", ch._QT)
+    chunked = float(ch.chamfer_distance_masked_pallas(pp, qp, pv, qv, interpret=True))
+    ref = float(ch.chamfer_distance_masked(pp, qp, pv, qv))
+    assert abs(chunked - ref) < 1e-4 * max(1.0, abs(ref))
