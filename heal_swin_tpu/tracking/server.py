@@ -247,27 +247,37 @@ class TrackingServer:
             self.stop()
 
     def stop(self):
-        if self.httpd is not None:
-            self.httpd.shutdown()
-            self.httpd.server_close()
-            self.httpd = None
-        if self.lock.is_file():
-            self.lock.unlink()
-            print(f"removed server file {self.lock}")
+        # The lockfile unlink must survive a KeyboardInterrupt landing mid-stop
+        # (e.g. a second SIGTERM during Ctrl-C cleanup) — a stale lockfile blocks
+        # every future start, which is the condition this shutdown path exists to
+        # prevent.  Hence the finally, and stop() is idempotent.
+        try:
+            if self.httpd is not None:
+                self.httpd.shutdown()
+                self.httpd.server_close()
+                self.httpd = None
+        finally:
+            if self.lock.is_file():
+                self.lock.unlink()
+                print(f"removed server file {self.lock}")
 
 
 def serve(mlruns=None, port: int = 5000, host: str = "0.0.0.0"):
     """Blocking entry point for the CLI (start-mlflow-server)."""
     import signal
 
-    server = TrackingServer(mlruns, port, host).start()
-    print(f"tracking server listening on http://{server.host}:{server.port} "
-          f"over {server.root} (lockfile {server.lock})")
     # a stale lockfile makes every later start abort and get_tracking_uri point
     # at a dead server, so clean up on SIGTERM too (kill, not just ctrl-C); the
-    # raise unwinds serve_forever in the main thread, whose finally runs stop()
+    # raise unwinds serve_forever in the main thread, whose finally runs stop().
+    # The handler first disarms itself so a SECOND SIGTERM cannot re-raise inside
+    # stop() and skip the unlink, and it is installed BEFORE start() so the
+    # window covers the moment the lockfile is written.
     def _term(*_):
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _term)
+    server = TrackingServer(mlruns, port, host).start()
+    print(f"tracking server listening on http://{server.host}:{server.port} "
+          f"over {server.root} (lockfile {server.lock})")
     server.serve_forever()

@@ -376,6 +376,10 @@ def test_chamfer_pallas_qchunk_split(monkeypatch):
     pv, qv = np.arange(bp) < n, np.arange(bq) < m
 
     monkeypatch.setattr(ch, "_QCHUNK", ch._QT)
+    # _QCHUNK is read at trace time: drop any cached single-chunk trace so the
+    # monkeypatched value is guaranteed to take effect even if another test has
+    # already traced these bucket shapes (ADVICE r3).
+    ch.chamfer_distance_masked_pallas.clear_cache()
     chunked = float(ch.chamfer_distance_masked_pallas(pp, qp, pv, qv, interpret=True))
     ref = float(ch.chamfer_distance_masked(pp, qp, pv, qv))
     assert abs(chunked - ref) < 1e-4 * max(1.0, abs(ref))
