@@ -74,7 +74,9 @@ def evaluate(eval_config: EvaluateConfig, pl_config: PLConfig, config_path: str 
     # metrics land in the original training run (reference evaluate.py:92-96)
     run = None
     if run_id is not None:
-        run = MlflowFileStore(utils.get_mlruns_path()).get_run(run_id)
+        from heal_swin_tpu import tracking
+
+        run = tracking.get_store().get_run(run_id)
 
     trainer = Trainer(pl_config, eval_config.train_config, run=run)
     params = jax.device_put(params, trainer.repl)

@@ -1,0 +1,305 @@
+"""Exact neighbor-pruned Chamfer distance (TPU-native).
+
+The brute-force kernel in ``ops/chamfer.py`` is at the VPU f32 roofline
+(12.5 s/pair at 1.24M points) — the remaining headroom is algorithmic.  This
+module prunes the *enumeration* of candidate pairs without changing a single
+computed value: the per-pair squared-distance math, the min folds, and the
+masked means are the exact same f32 expressions as the brute kernel, and a pair
+is skipped only when a conservative bounding-box lower bound proves its computed
+distance cannot beat the point's already-established minimum.  The returned
+per-point minima (and the final scalar) are therefore bit-identical to the
+brute-force path (pinned by ``tests/test_chamfer_pruned.py``).
+
+Matches the semantics of the reference's CUDA chamfer module
+(``/root/reference/heal_swin/evaluation/custom_metrics.py:471-577``): mean of
+squared NN distances, both directions.
+
+Pipeline (host numpy is cheap, device does all distance math):
+
+1. **Morton-sort** both clouds (host): spatially local points land in the same
+   fixed-size tile (``_TP`` = 256 p-side, ``_TQ`` = 512 q-side).
+2. **Tile AABBs + pairwise box lower bounds** (host, f64): ``lb(i, j)`` is the
+   squared distance between tile bounding boxes — a true lower bound on every
+   pair distance between the tiles.
+3. **Seed pass** (device): each tile is paired with its nearest box — the
+   resulting per-point running minima give a per-tile upper bound
+   ``ub = max over the tile's valid points of its current min``.
+4. **Prune** (host): keep pair (i, j) only if ``lb(i, j) < ub_p(i) + margin``
+   or ``lb(i, j) < ub_q(j) + margin``, where ``margin`` over-bounds the f32
+   rounding of the kernel's distance expression (64 ulp of the largest
+   ``|p|^2 + |q|^2``).  A pruned pair's computed distance provably exceeds the
+   running min of every point it covers, so folding it in would be a no-op.
+5. **Refine pass** (device): one scalar-prefetch Pallas kernel walks the
+   surviving (p-tile, q-tile) list (sorted by p-tile so each p-tile's running
+   min block stays VMEM-resident across its run), folding each (TP, TQ)
+   distance block into the p-side row-min AND the q-side col-min — each
+   surviving block is computed once, like the fused brute kernel.
+6. **Unsort + means**: minima are gathered back to the original point order and
+   reduced with the same masked-mean expression (same shapes) as the brute
+   path, so the scalar matches bit-for-bit.
+
+The kernel math must stay in lock-step with ``chamfer._min_both_kernel`` —
+any change to one must be mirrored in the other or bit-parity breaks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from heal_swin_tpu.ops.chamfer import _bucket
+
+_TP = 256  # p-tile rows (sublane multiple)
+_TQ = 512  # q-tile lanes (128 multiple); smaller tiles prune finer than brute's 1024
+
+# Above this the refine kernel's resident (M/_TQ, _TQ) col-min block would push
+# scoped VMEM; paper full_res clouds (~1.6M bucket) are well inside.
+_MAX_POINTS = 4 * 1024 * 1024
+
+
+# ------------------------------------------------------------------ host: morton
+def _spread_bits(x: np.ndarray) -> np.ndarray:
+    """Spread the low 21 bits of x to every 3rd bit (3-D Morton interleave)."""
+    u = np.uint64
+    x = x.astype(np.uint64) & u(0x1FFFFF)
+    x = (x | (x << u(32))) & u(0x1F00000000FFFF)
+    x = (x | (x << u(16))) & u(0x1F0000FF0000FF)
+    x = (x | (x << u(8))) & u(0x100F00F00F00F00F)
+    x = (x | (x << u(4))) & u(0x10C30C30C30C30C3)
+    x = (x | (x << u(2))) & u(0x1249249249249249)
+    return x
+
+
+def _morton_order(pts: np.ndarray) -> np.ndarray:
+    """Sort order of (n, 3) f32 points along a 63-bit Morton curve of their
+    joint-per-axis normalized grid coordinates."""
+    lo = pts.min(axis=0)
+    span = np.maximum(pts.max(axis=0) - lo, 1e-30)
+    g = ((pts - lo) / span * (2**21 - 1)).astype(np.uint64)
+    code = (
+        _spread_bits(g[:, 0])
+        | (_spread_bits(g[:, 1]) << np.uint64(1))
+        | (_spread_bits(g[:, 2]) << np.uint64(2))
+    )
+    return np.argsort(code, kind="stable")
+
+
+def _box_lb(plo, phi, qlo, qhi) -> np.ndarray:
+    """(a, b) squared distance between AABBs (f64): per-axis gap clamp, summed."""
+    g = np.maximum(np.maximum(qlo[None, :, :] - phi[:, None, :],
+                              plo[:, None, :] - qhi[None, :, :]), 0.0)
+    return np.einsum("abk,abk->ab", g, g)
+
+
+def _pad_tiles(pts: np.ndarray, total: int) -> np.ndarray:
+    """Pad sorted points to the bucket size by replicating the last point —
+    padding is masked out of every min/mean anyway, but replication keeps the
+    last tile's bounding box tight (zero-padding would drag it to the origin)."""
+    out = np.empty((total, 3), np.float32)
+    out[: len(pts)] = pts
+    out[len(pts):] = pts[-1]
+    return out
+
+
+# ------------------------------------------------------------------ pallas kernel
+def _pair_min_kernel(pt_ref, qt_ref, p_ref, qT_ref, pv_ref, qv_ref, pmin_in_ref,
+                     pmin_ref, qmin_ref):
+    """One pair-list step: the (TP, TQ) squared-distance block between
+    p-tile pt_ref[i] and q-tile qt_ref[i], folded into the p row-min (block
+    output, resident across the tile's contiguous run; seeded from pmin_in on
+    the run's first step) and the q col-min (whole (nqt, TQ) array resident as
+    a constant-index block, dynamic-row updated — same scheme as the brute
+    kernel's col-min).  Distance math is bit-identical to
+    chamfer._min_both_kernel."""
+    i = pl.program_id(0)
+    prev = pt_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, pt_ref[i] != prev)
+
+    @pl.when(first)
+    def _init_pmin():
+        pmin_ref[...] = pmin_in_ref[...]
+
+    @pl.when(i == 0)
+    def _init_qmin():
+        qmin_ref[...] = jnp.full_like(qmin_ref, jnp.inf)
+
+    p = p_ref[...]  # (TP, 3) f32
+    q = qT_ref[...]  # (3, TQ) f32
+    pv = pv_ref[...]  # (TP, 1) f32 (1 = valid)
+    qv = qv_ref[...]  # (1, TQ) f32
+    px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+    qx, qy, qz = q[0:1, :], q[1:2, :], q[2:3, :]
+    psq = px * px + py * py + pz * pz
+    qsq = qx * qx + qy * qy + qz * qz
+    cross = px * qx + py * qy + pz * qz
+    d = (psq + qsq) - (cross + cross)
+    m = jnp.min(jnp.where(qv > 0.0, d, jnp.inf), axis=1, keepdims=True)
+    pmin_ref[...] = jnp.minimum(pmin_ref[...], m)
+    c = jnp.min(jnp.where(pv > 0.0, d, jnp.inf), axis=0)
+    j = qt_ref[i]
+    qmin_ref[j, :] = jnp.minimum(qmin_ref[j, :], c)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pair_min(N: int, M: int, L: int, tp: int, tq: int, interpret: bool):
+    nqt = M // tq
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((tp, 3), lambda i, pt, qt: (pt[i], 0)),
+            pl.BlockSpec((3, tq), lambda i, pt, qt: (0, qt[i])),
+            pl.BlockSpec((tp, 1), lambda i, pt, qt: (pt[i], 0)),
+            pl.BlockSpec((1, tq), lambda i, pt, qt: (0, qt[i])),
+            pl.BlockSpec((tp, 1), lambda i, pt, qt: (pt[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, 1), lambda i, pt, qt: (pt[i], 0)),
+            pl.BlockSpec((nqt, tq), lambda i, pt, qt: (0, 0)),
+        ],
+    )
+
+    def call(pt, qt, p, qT, pv, qv, pmin_in):
+        return pl.pallas_call(
+            _pair_min_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nqt, tq), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pt, qt, p, qT, pv, qv, pmin_in)
+
+    return call
+
+
+# ------------------------------------------------------------------ device passes
+@functools.partial(jax.jit, static_argnames=("tp", "tq", "interpret"))
+def _seed_pass(pt, qt, p, qT, pv, qv, tp: int, tq: int, interpret: bool):
+    """Fold the seed pair list into fresh minima and derive the per-tile upper
+    bounds (max over each tile's VALID points of its running min)."""
+    N, M, L = p.shape[0], qT.shape[1], pt.shape[0]
+    pmin0 = jnp.full((N, 1), jnp.inf, jnp.float32)
+    pmin1, qmin1 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin0)
+    ubp = jnp.max(jnp.where(pv > 0.0, pmin1, -jnp.inf).reshape(N // tp, tp), axis=1)
+    ubq = jnp.max(jnp.where(qv.reshape(M // tq, tq) > 0.0, qmin1, -jnp.inf), axis=1)
+    return pmin1, qmin1, ubp, ubq
+
+
+@functools.partial(jax.jit, static_argnames=("tp", "tq", "interpret"))
+def _refine_pass(pt, qt, p, qT, pv, qv, pmin1, qmin1, rank_p, rank_q,
+                 p_valid, q_valid, tp: int, tq: int, interpret: bool):
+    """Fold the surviving pair list on top of the seed minima, gather the minima
+    back to the original point order, and reduce with the same masked-mean
+    expression (and shapes) as chamfer.chamfer_distance_masked_pallas."""
+    N, M, L = p.shape[0], qT.shape[1], pt.shape[0]
+    pmin2, qmin2 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin1)
+    qmin = jnp.minimum(qmin1, qmin2)
+    d_pq = jnp.maximum(pmin2[:, 0][rank_p], 0.0)  # original order, (bp,)
+    d_qp = jnp.maximum(qmin.reshape(-1)[rank_q], 0.0)  # (bq,)
+    n_p = jnp.maximum(jnp.sum(p_valid), 1)
+    n_q = jnp.maximum(jnp.sum(q_valid), 1)
+    mean_pq = jnp.sum(jnp.where(p_valid, d_pq, 0.0)) / n_p
+    mean_qp = jnp.sum(jnp.where(q_valid, d_qp, 0.0)) / n_q
+    return mean_pq + mean_qp, d_pq, d_qp
+
+
+# ------------------------------------------------------------------ driver
+def _bucket_pairs(n: int) -> int:
+    """Half-octave bucket for the pair-list length (bounds recompiles across
+    samples; padding repeats the last pair, a harmless re-fold)."""
+    return _bucket(max(n, 1))
+
+
+def _pad_pairs(pairs: np.ndarray, L: int):
+    """(k, 2) int pair list -> two (L,) int32 scalar-prefetch arrays."""
+    out = np.empty((L, 2), np.int32)
+    out[: len(pairs)] = pairs
+    out[len(pairs):] = pairs[-1]
+    return np.ascontiguousarray(out[:, 0]), np.ascontiguousarray(out[:, 1])
+
+
+def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = False,
+                            stats: dict | None = None):
+    """Exact Chamfer distance via neighbor-pruned enumeration.  p: (n, 3),
+    q: (m, 3) float arrays of VALID points (no padding).  Returns the scalar;
+    per-point minima in the ORIGINAL point order are appended to ``stats`` when
+    a dict is passed (tests pin them bit-equal to the brute path)."""
+    p = np.asarray(p, dtype=np.float32).reshape(-1, 3)
+    q = np.asarray(q, dtype=np.float32).reshape(-1, 3)
+    n, m = len(p), len(q)
+    if n == 0 or m == 0:
+        return float("nan")
+    if max(n, m) > _MAX_POINTS:
+        raise ValueError(f"pruned chamfer supports up to {_MAX_POINTS} points/side")
+
+    # -------- sort + pad (host)
+    porder, qorder = _morton_order(p), _morton_order(q)
+    bp, bq = _bucket(n), _bucket(m)
+    ps = _pad_tiles(p[porder], bp)
+    qs = _pad_tiles(q[qorder], bq)
+    npt_v, nqt_v = -(-n // _TP), -(-m // _TQ)  # tiles containing >=1 valid point
+
+    # -------- tile boxes + pairwise lower bounds (host, f64)
+    pt3 = ps[: npt_v * _TP].astype(np.float64).reshape(npt_v, _TP, 3)
+    qt3 = qs[: nqt_v * _TQ].astype(np.float64).reshape(nqt_v, _TQ, 3)
+    # only valid rows shape the boxes (the final partial tile replicates its
+    # last VALID point into the padding, so min/max over the full tile is tight)
+    lb = _box_lb(pt3.min(axis=1), pt3.max(axis=1), qt3.min(axis=1), qt3.max(axis=1))
+    rp2 = float(np.max(np.sum(pt3 * pt3, axis=2)))
+    rq2 = float(np.max(np.sum(qt3 * qt3, axis=2)))
+    margin = (rp2 + rq2 + 1.0) * 64 * 2.0**-23  # >> the kernel's f32 rounding
+
+    # -------- seed pair list: nearest box per tile, both directions
+    jstar = np.argmin(lb, axis=1)
+    istar = np.argmin(lb, axis=0)
+    seeds = np.concatenate([
+        np.stack([np.arange(npt_v), jstar], axis=1),
+        np.stack([istar, np.arange(nqt_v)], axis=1),
+    ])
+    seeds = np.unique(seeds, axis=0)  # sorted by (pt, qt): contiguous p-tile runs
+
+    pv = (np.arange(bp) < n).astype(np.float32).reshape(bp, 1)
+    qv = (np.arange(bq) < m).astype(np.float32).reshape(1, bq)
+    qsT = np.ascontiguousarray(qs.T)
+    L1 = _bucket_pairs(len(seeds))
+    pt1, qt1 = _pad_pairs(seeds, L1)
+    pmin1, qmin1, ubp_d, ubq_d = _seed_pass(pt1, qt1, ps, qsT, pv, qv,
+                                            _TP, _TQ, interpret)
+    ubp = np.asarray(ubp_d[:npt_v], np.float64)
+    ubq = np.asarray(ubq_d[:nqt_v], np.float64)
+
+    # -------- prune: a pair survives if its box lower bound could still beat
+    # some covered point's current minimum (in either direction)
+    keep = (lb < ubp[:, None] + margin) | (lb < ubq[None, :] + margin)
+    keep[np.arange(npt_v), jstar] = False  # already folded by the seed pass
+    keep[istar, np.arange(nqt_v)] = False
+    # every valid p-tile must appear so its output block is written (the refine
+    # pass re-folds its seed pair — a no-op on the minima)
+    empty = ~keep.any(axis=1)
+    keep[empty, jstar[empty]] = True
+    pairs = np.argwhere(keep).astype(np.int32)  # row-major: sorted by p-tile
+    if stats is not None:
+        total = npt_v * nqt_v
+        stats.update(n=n, m=m, seed_pairs=len(seeds), refine_pairs=len(pairs),
+                     dense_pairs=total, survivor_frac=len(pairs) / total)
+
+    L2 = _bucket_pairs(len(pairs))
+    pt2, qt2 = _pad_pairs(pairs, L2)
+    rank_p = np.zeros(bp, np.int32)
+    rank_p[porder] = np.arange(n, dtype=np.int32)  # original i -> sorted row
+    rank_q = np.zeros(bq, np.int32)
+    rank_q[qorder] = np.arange(m, dtype=np.int32)
+    out, d_pq, d_qp = _refine_pass(pt2, qt2, ps, qsT, pv, qv, pmin1, qmin1,
+                                   rank_p, rank_q,
+                                   np.arange(bp) < n, np.arange(bq) < m,
+                                   _TP, _TQ, interpret)
+    if stats is not None:
+        stats["d_pq"] = np.asarray(d_pq)[:n]
+        stats["d_qp"] = np.asarray(d_qp)[:m]
+    return float(out)

@@ -102,6 +102,13 @@ class MlflowRun:
     def set_status(self, status: str):
         """status: RUNNING | FINISHED | FAILED | KILLED."""
         meta = self.run_dir / "meta.yaml"
+        if not self._start_time and meta.exists():
+            # a run re-opened via get_run (or the REST server) must not clobber
+            # the recorded start_time when it rewrites the meta
+            for line in meta.read_text().splitlines():
+                if line.startswith("start_time:"):
+                    v = line.split(":", 1)[1].strip()
+                    self._start_time = int(v) if v.isdigit() else 0
         end = _now_ms() if status != "RUNNING" else None
         _write_meta(
             meta,

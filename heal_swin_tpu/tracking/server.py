@@ -6,15 +6,20 @@ file (reference ``run.py:69-120`` ``mlf_server`` + ``utils/mlflow_utils.py:8-19`
 ``get_tracking_uri``).  mlflow is not a baked dependency of this image, so this
 module reproduces the protocol natively:
 
-- ``serve(mlruns, port)``: a read-only stdlib HTTP server over the FileStore
-  written by ``tracking/mlflow_store.py`` (experiments -> runs -> params/metrics,
-  HTML for browsers plus ``?format=json`` for tooling).  It writes the reference's
-  lockfile (user/start_time/host/port), refuses to double-start, and removes the
-  lockfile on shutdown — byte-compatible fields with the reference's
-  ``server_data`` dict.
+- ``serve(mlruns, port)``: a stdlib HTTP server over the FileStore written by
+  ``tracking/mlflow_store.py`` — GET endpoints browse experiments -> runs ->
+  params/metrics (HTML plus ``?format=json``), POST endpoints under ``/api/``
+  accept remote client logging (create-run / run-op), mirroring the write REST
+  surface the reference relies on when training routes through ``mlflow
+  server``.  It writes the reference's lockfile (user/start_time/host/port),
+  refuses to double-start, and removes the lockfile on shutdown —
+  byte-compatible fields with the reference's ``server_data`` dict.
 - ``get_tracking_uri()``: lockfile present -> ``http://<host>:<port>`` (the
   reference's sqlite-backend resolution); otherwise ``file://<mlruns>`` (the
-  filesystem backend).
+  filesystem backend).  Consumed by ``tracking.get_store()``: the train and
+  evaluate entry points resolve their store through it, so a running server
+  captures their logging exactly like the reference's
+  ``utils/mlflow_utils.py:8-19`` routing.
 """
 
 from __future__ import annotations
@@ -201,6 +206,56 @@ def _make_handler(root: Path):
                 return self._send("not found", code=404)
             except BrokenPipeError:
                 pass
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            """Write API: lets a remote client log through this server into the
+            FileStore — the reference's ``mlflow server`` accepts client logging
+            over REST the same way (reference run.py:69-120 + the training
+            logger routing in utils/mlflow_utils.py:8-19).  Consumed by
+            tracking/client.py MlflowRestStore."""
+            from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore, MlflowRun
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                store = MlflowFileStore(root)
+                url = urlparse(self.path)
+                if url.path == "/api/create-run":
+                    run = store.create_run(body["experiment_name"], body.get("run_name"))
+                    return self._json({"experiment_id": run.experiment_id,
+                                       "run_id": run.run_id,
+                                       "artifact_dir": str(run.artifact_dir)})
+                if url.path == "/api/get-run":
+                    run = store.get_run(body["run_id"])
+                    return self._json({"experiment_id": run.experiment_id,
+                                       "run_id": run.run_id,
+                                       "artifact_dir": str(run.artifact_dir)})
+                if url.path == "/api/run-op":
+                    run = MlflowRun(store, body["experiment_id"], body["run_id"])
+                    op = body["op"]
+                    if op == "log_metric":
+                        run.log_metric(body["name"], body["value"],
+                                       body.get("step", 0), body.get("timestamp"))
+                    elif op == "log_metrics":
+                        run.log_metrics(body["metrics"], body.get("step", 0))
+                    elif op == "log_param":
+                        run.log_param(body["name"], body["value"])
+                    elif op == "log_params":
+                        run.log_params(body["params"])
+                    elif op == "set_tag":
+                        run.set_tag(body["name"], body["value"])
+                    elif op == "set_status":
+                        run.set_status(body["status"])
+                    else:
+                        return self._send(f"unknown op {op}", code=400)
+                    return self._json({"ok": True})
+                return self._send("not found", code=404)
+            except BrokenPipeError:
+                pass
+            except KeyError as exc:
+                self._send(f"bad request: {exc}", code=400)
+            except Exception as exc:  # surface store errors to the client
+                self._send(f"error: {exc}", code=500)
 
     return Handler
 

@@ -88,7 +88,11 @@ def train_model(
     # non-zero ranks, logging_callbacks.py:134)
     run = None
     if is_global_zero:
-        store = store or MlflowFileStore(utils.get_mlruns_path())
+        # a running tracking server (lockfile) captures the logging over HTTP,
+        # like the reference's get_tracking_uri routing (mlflow_utils.py:8-19)
+        from heal_swin_tpu import tracking
+
+        store = store or tracking.get_store()
         run = store.create_run(train_config.mlflow_expmt, run_name=train_config.job_id)
         print(f"This run has id {run.run_id}")
 

@@ -149,3 +149,54 @@ def test_tracking_server_lockfile_and_http(tmp_path):
         server.stop()
     assert not tracking_server_file_path(mlruns).is_file()  # lockfile removed
     assert get_tracking_uri(mlruns) == f"file://{mlruns}"
+
+
+def test_tracking_server_rest_write_path(tmp_path):
+    """Remote-client logging through the server (reference parity: a client on
+    another machine logs to ``mlflow server`` over REST — run.py:69-120; the
+    training logger routes through it when the lockfile exists,
+    utils/mlflow_utils.py:8-19).  tracking.get_store() must resolve to the REST
+    client while the server runs, its writes must land in the same FileStore,
+    and resolution must fall back to the FileStore once the server stops."""
+    import threading
+
+    from heal_swin_tpu import tracking
+    from heal_swin_tpu.tracking.client import MlflowRestStore
+    from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+    from heal_swin_tpu.tracking.server import TrackingServer
+
+    mlruns = tmp_path / "mlruns"
+    server = TrackingServer(mlruns, port=0, host="127.0.0.1").start()
+    try:
+        threading.Thread(target=server.httpd.serve_forever, daemon=True).start()
+        store = tracking.get_store(mlruns)
+        assert isinstance(store, MlflowRestStore)
+
+        run = store.create_run("rest_expt", run_name="restrun")
+        run.log_param("lr", 0.01)
+        run.log_params({"bs": 2})
+        run.log_metric("train_loss", 2.0, step=0)
+        run.log_metrics({"train_loss": 1.0, "acc": 0.5}, step=1)
+        run.set_tag("cmd", "unit-test")
+        run.set_status("FINISHED")
+        assert run.artifact_dir.is_dir()  # shared-FS artifact path, usable directly
+
+        # the same run read straight from the FileStore
+        fs_run = MlflowFileStore(mlruns).get_run(run.run_id)
+        assert fs_run.run_dir == run.run_dir
+        assert (fs_run.run_dir / "params" / "lr").read_text() == "0.01"
+        assert (fs_run.run_dir / "params" / "bs").read_text() == "2"
+        assert [v for _, v, _ in fs_run.get_metric_history("train_loss")] == [2.0, 1.0]
+        assert (fs_run.run_dir / "tags" / "cmd").read_text() == "unit-test"
+        assert fs_run.status == "FINISHED"
+        meta = (fs_run.run_dir / "meta.yaml").read_text()
+        start = next(ln for ln in meta.splitlines() if ln.startswith("start_time:"))
+        assert int(start.split(":")[1]) > 0  # set_status via REST kept start_time
+
+        # REST metric history reads back through the server's GET endpoint
+        assert [v for _, v, _ in run.get_metric_history("acc")] == [0.5]
+        # get_run over REST resolves the same artifact dir
+        assert store.get_run(run.run_id).artifact_dir == run.artifact_dir
+    finally:
+        server.stop()
+    assert isinstance(tracking.get_store(mlruns), MlflowFileStore)
