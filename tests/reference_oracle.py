@@ -186,7 +186,9 @@ def copy_torch_weights(torch_model, flax_params, mapper):
         assert tkey in sd, f"missing torch key {tkey} for flax path {path}"
         arr = tf(sd[tkey])
         assert arr.shape == val.shape, f"{path}: {arr.shape} vs {val.shape} (torch {tkey})"
-        new[path] = np.asarray(arr, dtype=np.float32)
+        # own the memory: .numpy() and transpose transforms are VIEWS of the live
+        # torch parameters, which trajectory tests mutate in-place after copying
+        new[path] = np.array(arr, dtype=np.float32, copy=True)
         used.add(tkey)
     unused = {
         k for k in sd

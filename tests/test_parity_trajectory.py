@@ -1,0 +1,324 @@
+"""Training-TRAJECTORY parity against the torch reference stack (weight copy).
+
+The forward tests in test_parity_torch.py pin the architectures; these tests pin
+the TRAINING semantics end-to-end: the weighted-CE / masked-depth losses, torch
+Adam's weight-decay placement (L2 into the gradient BEFORE the moments —
+reference training/optimizer.py:57-66 passes weight_decay to torch.optim.Adam),
+bias correction, and the loss normalization — by running the repo's REAL
+Trainer.fit (its jitted step, optax chain, epoch loop) from torch-copied weights
+on deterministic batches, while the actual reference stack (torch model +
+reference optimizer factory + reference loss functions, driven the way the
+Lightning modules do in their shared_step —
+models_lightning/segmentation/model_lightning_swin_hp.py:104-111,
+models_lightning/depth_estimation/model_lightning_depth_swin_hp.py:132-160 with
+identity normalization) consumes the identical batch sequence.  Loss
+trajectories and final parameters must agree within f32 tolerance.
+
+The plateau scheduler's stepping decisions are pinned separately against
+torch.optim.lr_scheduler.ReduceLROnPlateau on shared monitor sequences (the
+trainer steps it once per epoch on the epoch-aggregated metrics, the same
+cadence Lightning uses for an epoch-interval scheduler dict).
+"""
+
+import dataclasses
+import itertools
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests.reference_oracle import (  # noqa: E402
+    copy_torch_weights,
+    install_stubs_and_reference,
+    _map_hp_path,
+)
+
+install_stubs_and_reference()
+
+from heal_swin.models_torch.swin_hp_transformer import (  # noqa: E402
+    SwinHPTransformerConfig as RefHPConfig,
+    SwinHPTransformerSys as RefHPSys,
+)
+from heal_swin.data.segmentation.data_spec import DataSpec as RefDataSpec  # noqa: E402
+from heal_swin.training import loss_depth_regression as ref_depth_losses  # noqa: E402
+from heal_swin.training.optimizer import (  # noqa: E402
+    OptimizerConfig as RefOptimizerConfig,
+    get_lightning_optimizer_dict,
+)
+
+from heal_swin_tpu.data.data import get_data_module  # noqa: E402
+from heal_swin_tpu.models.tasks import MODEL_FROM_CONFIG_NAME  # noqa: E402
+from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore  # noqa: E402
+from heal_swin_tpu.training.train_config import PLConfig  # noqa: E402
+from heal_swin_tpu.training.trainer import Trainer  # noqa: E402
+from heal_swin_tpu.utils.utils import get_config_from_config_path  # noqa: E402
+
+N_EPOCHS = 3
+BATCHES_PER_EPOCH = 2
+
+
+def _pl_config():
+    # gpus=1: a 1-device mesh so the repo step is the plain jit path and the
+    # batch sequence matches the torch loop sample-for-sample
+    return PLConfig(
+        max_epochs=N_EPOCHS, limit_train_batches=BATCHES_PER_EPOCH,
+        limit_val_batches=1, num_sanity_val_steps=0, log_every_n_steps=100,
+        checkpoint_callback=False, gpus=1,
+    )
+
+
+def _fit_repo(run_config, tmp_path, init_params):
+    """Run the repo's real Trainer.fit from the given initial params; return
+    (final params, per-epoch train_loss history)."""
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+    run = MlflowFileStore(tmp_path / "mlruns").create_run("traj_parity")
+    trainer = Trainer(_pl_config(), run_config.train, run=run)
+    trainer.fit(task, dm, resume_state={"params": init_params})
+    hist = [v for _, v, _ in run.get_metric_history("train_loss")]
+    assert len(hist) == N_EPOCHS
+    return jax.device_get(trainer._params), hist
+
+
+def _replay_batches(run_config):
+    """The exact batch sequence Trainer.fit consumes: same loader settings
+    (deterministic shuffle keyed on seed+epoch, drop_last, dp=1 batch size)."""
+    dm, _ = get_data_module(run_config.data)
+    loader = dm.train_dataloader()
+    loader.drop_last = True
+    out = []
+    for epoch in range(N_EPOCHS):
+        loader.set_epoch(epoch)
+        for imgs, targets in itertools.islice(iter(loader), BATCHES_PER_EPOCH):
+            out.append((np.asarray(imgs), np.asarray(targets)))
+    return out
+
+
+def _init_params(run_config, ref_model, sample_imgs):
+    """Torch-initialized weights in the repo task's param layout."""
+    dm, data_spec = get_data_module(run_config.data)
+    task_cls = MODEL_FROM_CONFIG_NAME[type(run_config.model).__name__]
+    task = task_cls(run_config.model, data_spec, run_config.data)
+    template = jax.jit(task.init_variables)(
+        jax.random.PRNGKey(0), jnp.asarray(sample_imgs[:1])
+    )
+    return copy_torch_weights(ref_model, template, _map_hp_path), template
+
+
+def _assert_params_close(final_repo, ref_model, template, atol):
+    final_ref = copy_torch_weights(ref_model, template, _map_hp_path)
+    flat_repo = jax.tree_util.tree_leaves_with_path(final_repo)
+    flat_ref = jax.tree_util.tree_leaves_with_path(final_ref)
+    assert len(flat_repo) == len(flat_ref)
+    for (path_r, a), (_, b) in zip(flat_repo, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol, rtol=1e-3,
+            err_msg=f"param diverged after {N_EPOCHS * BATCHES_PER_EPOCH} steps: "
+            + jax.tree_util.keystr(path_r),
+        )
+
+
+def _swin_kwargs(run_config):
+    c = run_config.model.swin_hp_transformer_config
+    return dict(
+        patch_size=c.patch_size, window_size=c.window_size, shift_size=c.shift_size,
+        shift_strategy=c.shift_strategy, embed_dim=c.embed_dim, depths=list(c.depths),
+        num_heads=list(c.num_heads), drop_rate=0.0, drop_path_rate=0.0,
+    )
+
+
+def _no_dropout(run_config):
+    """Zero the stochastic regularizers (the trainer runs deterministic=False;
+    trajectory comparison needs both sides noise-free)."""
+    mc = run_config.model
+    inner = dataclasses.replace(
+        mc.swin_hp_transformer_config,
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+    )
+    return dataclasses.replace(
+        run_config, model=dataclasses.replace(mc, swin_hp_transformer_config=inner)
+    )
+
+
+def test_seg_adam_trajectory_matches_torch(tmp_path):
+    """Weighted-CE segmentation, Adam with torch-style weight decay: 6 optimizer
+    steps from copied weights track the reference stack's loss trajectory and
+    final parameters."""
+    run_config = _no_dropout(get_config_from_config_path(
+        "run_configs/swin_hp_test_run_config.py", "get_train_run_config"
+    ))
+    _, data_spec = get_data_module(run_config.data)
+    f_out = data_spec.f_out
+    class_weights = [0.5 + 0.25 * i for i in range(f_out)]
+    run_config = dataclasses.replace(
+        run_config,
+        train=dataclasses.replace(run_config.train, eval_after_train=False),
+        model=dataclasses.replace(
+            run_config.model,
+            class_weights=class_weights,
+            optimizer_config=dataclasses.replace(
+                run_config.model.optimizer_config,
+                optimizer_name="Adam", learning_rate=1e-3, weight_decay=1e-4,
+            ),
+        ),
+    )
+
+    torch.manual_seed(0)
+    rspec = RefDataSpec(dim_in=data_spec.dim_in, f_in=data_spec.f_in,
+                        f_out=f_out, base_pix=data_spec.base_pix, class_names=[])
+    ref = RefHPSys(RefHPConfig(**_swin_kwargs(run_config)), rspec).train()
+
+    batches = _replay_batches(run_config)
+    init_params, template = _init_params(run_config, ref, batches[0][0])
+
+    # ---- torch side: the reference stack (model + optimizer factory + the
+    # Lightning module's loss, shared_step semantics)
+    opt = get_lightning_optimizer_dict(
+        ref.parameters(),
+        RefOptimizerConfig(optimizer_name="Adam", learning_rate=1e-3,
+                           weight_decay=1e-4),
+    )["optimizer"]
+    loss_mod = torch.nn.CrossEntropyLoss(weight=torch.tensor(class_weights))
+    torch_losses = []
+    for imgs, masks in batches:
+        x = torch.from_numpy(imgs.transpose(0, 2, 1)).float()  # (B, C, N)
+        outputs = ref(x)
+        loss = loss_mod(outputs, torch.from_numpy(np.asarray(masks)).long())
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(loss.item())
+    torch_epoch_losses = np.mean(
+        np.asarray(torch_losses).reshape(N_EPOCHS, BATCHES_PER_EPOCH), axis=1
+    )
+
+    # ---- repo side: the real Trainer.fit
+    final_repo, repo_hist = _fit_repo(run_config, tmp_path, init_params)
+
+    np.testing.assert_allclose(repo_hist, torch_epoch_losses, rtol=2e-4, atol=1e-5)
+    _assert_params_close(final_repo, ref, template, atol=5e-4)
+
+
+def test_depth_masked_l2_trajectory_matches_torch(tmp_path):
+    """Masked depth regression (inf-marked background), reference mse loss
+    (loss_depth_regression.py:9-20, sq_diff/2 meaned over valid pixels), plain
+    Adam: trajectory + final params track the reference stack.  Identity
+    data_transform/normalization so the Lightning shared_step's transform
+    round-trip is the identity."""
+    run_config = _no_dropout(get_config_from_config_path(
+        "run_configs/depth_swin_hp_test_run_config.py", "get_train_run_config"
+    ))
+    run_config = dataclasses.replace(
+        run_config,
+        train=dataclasses.replace(run_config.train, eval_after_train=False),
+        data=dataclasses.replace(
+            run_config.data,
+            common_depth=dataclasses.replace(
+                run_config.data.common_depth,
+                data_transform=None, normalize_data=False, mask_background=False,
+            ),
+        ),
+        model=dataclasses.replace(
+            run_config.model,
+            optimizer_config=dataclasses.replace(
+                run_config.model.optimizer_config,
+                optimizer_name="Adam", learning_rate=1e-3, weight_decay=0.0,
+            ),
+        ),
+    )
+
+    _, data_spec = get_data_module(run_config.data)
+    torch.manual_seed(0)
+    rspec = RefDataSpec(dim_in=data_spec.dim_in, f_in=data_spec.f_in,
+                        f_out=1, base_pix=data_spec.base_pix, class_names=[])
+    ref = RefHPSys(RefHPConfig(**_swin_kwargs(run_config)), rspec).train()
+
+    batches = _replay_batches(run_config)
+    assert any(np.isinf(b[1]).any() for b in batches), "fixture must mask background"
+    init_params, template = _init_params(run_config, ref, batches[0][0])
+
+    opt = get_lightning_optimizer_dict(
+        ref.parameters(),
+        RefOptimizerConfig(optimizer_name="Adam", learning_rate=1e-3),
+    )["optimizer"]
+    torch_losses = []
+    for imgs, masks in batches:
+        x = torch.from_numpy(imgs.transpose(0, 2, 1)).float()
+        outputs = ref(x)  # (B, 1, N)
+        loss = ref_depth_losses.mse(outputs, torch.from_numpy(np.asarray(masks)))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(loss.item())
+    torch_epoch_losses = np.mean(
+        np.asarray(torch_losses).reshape(N_EPOCHS, BATCHES_PER_EPOCH), axis=1
+    )
+
+    final_repo, repo_hist = _fit_repo(run_config, tmp_path, init_params)
+
+    np.testing.assert_allclose(repo_hist, torch_epoch_losses, rtol=2e-4, atol=1e-5)
+    _assert_params_close(final_repo, ref, template, atol=5e-4)
+
+
+def test_plateau_scheduler_decisions_match_torch():
+    """ReduceLROnPlateau decision-for-decision vs torch on shared monitor
+    sequences: improvements, sub-threshold stalls, the patience counter reset,
+    and the min_lr clamp (reference optimizer.py:16-27 passes mode/patience/
+    threshold/factor/min_lr straight to torch's scheduler; the trainer steps it
+    once per epoch on the epoch metrics, Lightning's epoch-interval cadence)."""
+    from heal_swin_tpu.training.optimizer import (
+        OptimizerConfig as RepoOptimizerConfig,
+        make_scheduler,
+    )
+
+    monitor_seqs = [
+        # plateau after an improvement, long stall, recovery, deep stall to clamp
+        [1.0, 0.5, 0.499, 0.498, 0.497, 0.496, 0.495, 0.2, 0.3, 0.3, 0.3, 0.3,
+         0.3, 0.3, 0.3, 0.3, 0.3],
+        # threshold-sensitive: relative-threshold edge cases around best*(1-t)
+        [1.0, 1.0 * (1 - 1e-4), 1.0 * (1 - 2e-4), 0.99, 0.99, 0.99, 0.99, 0.99],
+        # mode=min with immediate monotone decrease (never reduces)
+        [5.0, 4.0, 3.0, 2.0, 1.0],
+    ]
+    for seq in monitor_seqs:
+        cfg = RepoOptimizerConfig(
+            learning_rate=0.1, scheduler="reduce_on_plateau", scheduler_mode="min",
+            scheduler_patience=2, scheduler_threshold=1e-4, scheduler_factor=0.5,
+            scheduler_min_lr=1e-2, scheduler_monitor="train_loss",
+        )
+        repo_sched = make_scheduler(cfg)
+
+        ref_param = torch.nn.Parameter(torch.zeros(1))
+        ref_opt = torch.optim.Adam([ref_param], lr=0.1)
+        ref_dict = get_lightning_optimizer_dict(
+            [ref_param],
+            RefOptimizerConfig(
+                optimizer_name="Adam", learning_rate=0.1,
+                scheduler=_ref_plateau_cls(), scheduler_mode="min",
+                scheduler_patience=2, scheduler_threshold=1e-4,
+                scheduler_factor=0.5, scheduler_min_lr=1e-2,
+                scheduler_monitor="train_loss",
+            ),
+        )
+        ref_sched = ref_dict["lr_scheduler"]["scheduler"]
+        ref_opt = ref_dict["optimizer"]
+
+        repo_lrs, ref_lrs = [], []
+        for v in seq:
+            repo_lrs.append(repo_sched.step({"train_loss": v}))
+            ref_sched.step(v)
+            ref_lrs.append(ref_opt.param_groups[0]["lr"])
+        assert repo_lrs == pytest.approx(ref_lrs, rel=0, abs=0), (
+            f"lr decisions diverged for {seq}:\nrepo {repo_lrs}\nref  {ref_lrs}"
+        )
+
+
+def _ref_plateau_cls():
+    from heal_swin.training.optimizer import LightningReduceLROnPlateau
+
+    return LightningReduceLROnPlateau
