@@ -1,12 +1,16 @@
 """Chamfer distance, TPU-native.
 
 The reference outsources this to a CUDA extension (the only genuinely native kernel it
-uses, SURVEY.md §2.9).  Here the O(N*M) pairwise minimum is a tiled matmul:
-||p - q||^2 = ||p||^2 + ||q||^2 - 2 p.q, so each (N, tile) block of distances is one
-MXU matmul; a lax.scan over tiles keeps a running minimum without materializing the
-full distance matrix.  Invalid (padded) points are masked with +inf on the q side and
-excluded from the mean on the p side — so variable-size point clouds run through ONE
-compiled executable per bucket shape.
+uses, SURVEY.md §2.9; the pip ``chamfer_distance`` module computes plain f32
+``(x1-x2)^2 + ...`` per pair).  Here the CPU-fallback O(N*M) pairwise minimum is a
+tiled matmul: ||p - q||^2 = ||p||^2 + ||q||^2 - 2 p.q, so each (N, tile) block of
+distances is one MXU matmul; a lax.scan over tiles keeps a running minimum without
+materializing the full distance matrix.  CAVEAT of the expansion form: it cancels
+catastrophically when pairs are close relative to their range (abs error ~ulp(R^2));
+the TPU paths (the Pallas kernel below and ops/chamfer_pruned.py) compute the
+reference's accurate DIFFERENCE form instead at the same VPU cost.  Invalid (padded)
+points are masked with +inf on the q side and excluded from the mean on the p side —
+so variable-size point clouds run through ONE compiled executable per bucket shape.
 
 chamfer(p, q) = mean_i min_j ||p_i - q_j||^2 + mean_j min_i ||q_j - p_i||^2
 (matching the reference's CUDA module semantics: mean of squared distances, both
@@ -131,10 +135,15 @@ def _min_both_kernel(p_ref, qT_ref, pv_ref, qv_ref, pmin_ref, qmin_ref):
     qv = qv_ref[...]  # (1, QT) f32 (1 = valid)
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
     qx, qy, qz = q[0:1, :], q[1:2, :], q[2:3, :]
-    psq = px * px + py * py + pz * pz  # (PT, 1)
-    qsq = qx * qx + qy * qy + qz * qz  # (1, QT)
-    cross = px * qx + py * qy + pz * qz  # (PT, QT)
-    d = (psq + qsq) - (cross + cross)
+    # DIFFERENCE form, matching the reference's CUDA kernel (the pip
+    # chamfer_distance extension computes (x1-x2)^2+...): the expansion
+    # |p|^2+|q|^2-2p.q costs the same 8 broadcast VPU ops but catastrophically
+    # cancels when pairs are close relative to their range — exactly the regime
+    # of a converged depth model's pred-vs-target clouds.
+    dx = px - qx  # (PT, QT)
+    dy = py - qy
+    dz = pz - qz
+    d = dx * dx + dy * dy + dz * dz
     m = jnp.min(jnp.where(qv > 0.0, d, jnp.inf), axis=1, keepdims=True)  # (PT, 1)
     pmin_ref[...] = jnp.minimum(pmin_ref[...], m)
     c = jnp.min(jnp.where(pv > 0.0, d, jnp.inf), axis=0)  # (QT,)
@@ -212,23 +221,35 @@ def _bucket(n: int) -> int:
         b *= 2
 
 
-def _use_pallas() -> bool:
-    env = os.environ.get("HEAL_SWIN_CHAMFER_IMPL")  # "pallas" | "jnp" | unset
-    if env == "pallas":
-        return True
-    if env == "jnp":
-        return False
-    return jax.default_backend() == "tpu"
+# Below this pair count the brute kernel beats the pruned pipeline's host
+# overhead (sort + box bounds + pair building, ~1-2 s at paper scale).
+_PRUNE_MIN_PAIRS = 2.5e11
+
+
+def _impl(n: int, m: int) -> str:
+    env = os.environ.get("HEAL_SWIN_CHAMFER_IMPL")  # "pruned"|"pallas"|"jnp"|unset
+    if env in ("pruned", "pallas", "jnp"):
+        return env
+    if jax.default_backend() != "tpu":
+        return "jnp"
+    return "pruned" if float(n) * float(m) >= _PRUNE_MIN_PAIRS else "pallas"
 
 
 def chamfer_distance(p: np.ndarray, q: np.ndarray) -> float:
-    """Host API: p (N, 3), q (M, 3) float arrays (ragged sizes fine).  On TPU this
-    runs the Pallas VPU kernel (exact f32, O(N+M) memory — required at the paper's
-    ~1.2M-point full_res clouds); elsewhere the jnp tiled-matmul path."""
+    """Host API: p (N, 3), q (M, 3) float arrays (ragged sizes fine).  On TPU the
+    paper's ~1.2M-point full_res clouds run the exact neighbor-PRUNED pipeline
+    (ops/chamfer_pruned.py — bit-identical values, prunes ~97% of the pair
+    enumeration), smaller clouds the brute Pallas VPU kernel; elsewhere the jnp
+    tiled-matmul path."""
     p = np.asarray(p, dtype=np.float32).reshape(-1, 3)
     q = np.asarray(q, dtype=np.float32).reshape(-1, 3)
     if len(p) == 0 or len(q) == 0:
         return float("nan")
+    impl = _impl(len(p), len(q))
+    if impl == "pruned":
+        from heal_swin_tpu.ops.chamfer_pruned import chamfer_distance_pruned
+
+        return chamfer_distance_pruned(p, q)
     bp, bq = _bucket(len(p)), _bucket(len(q))
     p_pad = np.zeros((bp, 3), np.float32)
     p_pad[: len(p)] = p
@@ -236,5 +257,5 @@ def chamfer_distance(p: np.ndarray, q: np.ndarray) -> float:
     q_pad[: len(q)] = q
     p_valid = np.arange(bp) < len(p)
     q_valid = np.arange(bq) < len(q)
-    impl = chamfer_distance_masked_pallas if _use_pallas() else chamfer_distance_masked
-    return float(impl(p_pad, q_pad, p_valid, q_valid))
+    fn = chamfer_distance_masked_pallas if impl == "pallas" else chamfer_distance_masked
+    return float(fn(p_pad, q_pad, p_valid, q_valid))

@@ -21,15 +21,19 @@ Pipeline (host numpy is cheap, device does all distance math):
 2. **Tile AABBs + pairwise box lower bounds** (host, f64): ``lb(i, j)`` is the
    squared distance between tile bounding boxes — a true lower bound on every
    pair distance between the tiles.
-3. **Seed pass** (device): each tile is paired with its nearest box — the
-   resulting per-point running minima give a per-tile upper bound
-   ``ub = max over the tile's valid points of its current min``.
-4. **Prune** (host): keep pair (i, j) only if ``lb(i, j) < ub_p(i) + margin``
-   or ``lb(i, j) < ub_q(j) + margin``, where ``margin`` over-bounds the f32
-   rounding of the kernel's distance expression (64 ulp of the largest
-   ``|p|^2 + |q|^2``).  A pruned pair's computed distance provably exceeds the
+3. **Tightening rounds** (device): each tile folds its nearest boxes
+   (``_ROUNDS`` nearest, cumulative) through the pair kernel; after each round
+   the per-tile upper bounds ``ub = max over the tile's valid points of its
+   running min`` are re-fetched, and the next round's candidates are pruned
+   against them.  Every point's true-NN tile survives every prune (its lower
+   bound <= the point's true min <= the tile bound), so the schedule only
+   controls how tight the bounds get before the final sweep.
+4. **Prune** (host): keep pair (i, j) only if ``lb(i, j) < ub_p(i) * _MARGIN``
+   or ``lb(i, j) < ub_q(j) * _MARGIN`` — the RELATIVE slack over-bounds the few
+   ulp of relative rounding in both the kernel's difference-form distance and
+   the f32 box bound.  A pruned pair's computed distance provably exceeds the
    running min of every point it covers, so folding it in would be a no-op.
-5. **Refine pass** (device): one scalar-prefetch Pallas kernel walks the
+5. **Final pass** (device): one scalar-prefetch Pallas kernel walks the
    surviving (p-tile, q-tile) list (sorted by p-tile so each p-tile's running
    min block stays VMEM-resident across its run), folding each (TP, TQ)
    distance block into the p-side row-min AND the q-side col-min — each
@@ -90,10 +94,17 @@ def _morton_order(pts: np.ndarray) -> np.ndarray:
 
 
 def _box_lb(plo, phi, qlo, qhi) -> np.ndarray:
-    """(a, b) squared distance between AABBs (f64): per-axis gap clamp, summed."""
-    g = np.maximum(np.maximum(qlo[None, :, :] - phi[:, None, :],
-                              plo[:, None, :] - qhi[None, :, :]), 0.0)
-    return np.einsum("abk,abk->ab", g, g)
+    """(a, b) squared distance between AABBs: per-axis gap clamp, summed.  f32
+    accumulation (its rounding is orders of magnitude under the pruning margin);
+    axis-at-a-time in-place ops — an (a, b, 3) einsum measured ~20x slower."""
+    acc = np.zeros((plo.shape[0], qlo.shape[0]), np.float32)
+    for k in range(3):
+        g = np.maximum(qlo[None, :, k] - phi[:, None, k],
+                       plo[:, None, k] - qhi[None, :, k]).astype(np.float32)
+        np.maximum(g, 0.0, out=g)
+        g *= g
+        acc += g
+    return acc
 
 
 def _pad_tiles(pts: np.ndarray, total: int) -> np.ndarray:
@@ -134,10 +145,10 @@ def _pair_min_kernel(pt_ref, qt_ref, p_ref, qT_ref, pv_ref, qv_ref, pmin_in_ref,
     qv = qv_ref[...]  # (1, TQ) f32
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
     qx, qy, qz = q[0:1, :], q[1:2, :], q[2:3, :]
-    psq = px * px + py * py + pz * pz
-    qsq = qx * qx + qy * qy + qz * qz
-    cross = px * qx + py * qy + pz * qz
-    d = (psq + qsq) - (cross + cross)
+    dx = px - qx
+    dy = py - qy
+    dz = pz - qz
+    d = dx * dx + dy * dy + dz * dz
     m = jnp.min(jnp.where(qv > 0.0, d, jnp.inf), axis=1, keepdims=True)
     pmin_ref[...] = jnp.minimum(pmin_ref[...], m)
     c = jnp.min(jnp.where(pv > 0.0, d, jnp.inf), axis=0)
@@ -180,26 +191,27 @@ def _make_pair_min(N: int, M: int, L: int, tp: int, tq: int, interpret: bool):
 
 # ------------------------------------------------------------------ device passes
 @functools.partial(jax.jit, static_argnames=("tp", "tq", "interpret"))
-def _seed_pass(pt, qt, p, qT, pv, qv, tp: int, tq: int, interpret: bool):
-    """Fold the seed pair list into fresh minima and derive the per-tile upper
-    bounds (max over each tile's VALID points of its running min)."""
+def _round_pass(pt, qt, p, qT, pv, qv, pmin_in, qmin_in, tp: int, tq: int,
+                interpret: bool):
+    """Fold one pair list on top of the running minima and derive the per-tile
+    upper bounds (max over each tile's VALID points of its running min)."""
     N, M, L = p.shape[0], qT.shape[1], pt.shape[0]
-    pmin0 = jnp.full((N, 1), jnp.inf, jnp.float32)
-    pmin1, qmin1 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin0)
-    ubp = jnp.max(jnp.where(pv > 0.0, pmin1, -jnp.inf).reshape(N // tp, tp), axis=1)
-    ubq = jnp.max(jnp.where(qv.reshape(M // tq, tq) > 0.0, qmin1, -jnp.inf), axis=1)
-    return pmin1, qmin1, ubp, ubq
+    pmin2, qmin2 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin_in)
+    qmin = jnp.minimum(qmin_in, qmin2)
+    ubp = jnp.max(jnp.where(pv > 0.0, pmin2, -jnp.inf).reshape(N // tp, tp), axis=1)
+    ubq = jnp.max(jnp.where(qv.reshape(M // tq, tq) > 0.0, qmin, -jnp.inf), axis=1)
+    return pmin2, qmin, ubp, ubq
 
 
 @functools.partial(jax.jit, static_argnames=("tp", "tq", "interpret"))
-def _refine_pass(pt, qt, p, qT, pv, qv, pmin1, qmin1, rank_p, rank_q,
-                 p_valid, q_valid, tp: int, tq: int, interpret: bool):
-    """Fold the surviving pair list on top of the seed minima, gather the minima
-    back to the original point order, and reduce with the same masked-mean
-    expression (and shapes) as chamfer.chamfer_distance_masked_pallas."""
+def _final_pass(pt, qt, p, qT, pv, qv, pmin_in, qmin_in, rank_p, rank_q,
+                p_valid, q_valid, tp: int, tq: int, interpret: bool):
+    """Fold the final surviving pair list, gather the minima back to the
+    original point order, and reduce with the same masked-mean expression (and
+    shapes) as chamfer.chamfer_distance_masked_pallas."""
     N, M, L = p.shape[0], qT.shape[1], pt.shape[0]
-    pmin2, qmin2 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin1)
-    qmin = jnp.minimum(qmin1, qmin2)
+    pmin2, qmin2 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin_in)
+    qmin = jnp.minimum(qmin_in, qmin2)
     d_pq = jnp.maximum(pmin2[:, 0][rank_p], 0.0)  # original order, (bp,)
     d_qp = jnp.maximum(qmin.reshape(-1)[rank_q], 0.0)  # (bq,)
     n_p = jnp.maximum(jnp.sum(p_valid), 1)
@@ -210,6 +222,23 @@ def _refine_pass(pt, qt, p, qT, pv, qv, pmin1, qmin1, rank_p, rank_q,
 
 
 # ------------------------------------------------------------------ driver
+# Tightening rounds: cumulative nearest-tile counts per tile per round.  Round 1
+# folds each tile's 4 nearest boxes; the re-fetched upper bounds then prune the
+# round-2 candidates (the next-12 nearest), whose bounds prune the final
+# survivor enumeration.  Each point's true-NN tile always survives every prune
+# (its lower bound <= the point's true min <= the tile bound), so the final
+# minima are exact regardless of the round schedule — the schedule only controls
+# how close the bounds get to ideal before paying for the full survivor sweep
+# (measured: ideal bounds leave ~1% of dense pairs at 1.2M points).
+_ROUNDS = (4, 16)
+
+# Conservative pruning slack, RELATIVE: the kernel's difference-form f32
+# distance and the f32 box lower bound are each within a few ulp RELATIVE
+# error, so a pruned pair's computed distance is >= lb/_MARGIN > ub >= every
+# covered running min.  (1e-5 covers ~84 ulp — orders beyond the actual ~8.)
+_MARGIN = 1.0 + 1e-5
+
+
 def _bucket_pairs(n: int) -> int:
     """Half-octave bucket for the pair-list length (bounds recompiles across
     samples; padding repeats the last pair, a harmless re-fold)."""
@@ -222,6 +251,50 @@ def _pad_pairs(pairs: np.ndarray, L: int):
     out[: len(pairs)] = pairs
     out[len(pairs):] = pairs[-1]
     return np.ascontiguousarray(out[:, 0]), np.ascontiguousarray(out[:, 1])
+
+
+def _nearest_pairs(lb: np.ndarray, k_lo: int, k_hi: int) -> np.ndarray:
+    """Pairs (i, j) where j is among row i's (k_lo, k_hi]-nearest columns by lb,
+    or i among column j's — both directions so every tile's bounds tighten."""
+    npt_v, nqt_v = lb.shape
+    out = []
+    if nqt_v > k_lo:
+        hi = min(k_hi, nqt_v)
+        jn = np.argpartition(lb, hi - 1, axis=1)[:, :hi]
+        if k_lo:
+            # drop the k_lo nearest (previous rounds): partial-sort the hi block
+            order = np.argsort(np.take_along_axis(lb, jn, axis=1), axis=1)
+            jn = np.take_along_axis(jn, order, axis=1)[:, k_lo:]
+        out.append(np.stack([
+            np.repeat(np.arange(npt_v), jn.shape[1]), jn.reshape(-1)
+        ], axis=1))
+    if npt_v > k_lo:
+        hi = min(k_hi, npt_v)
+        im = np.argpartition(lb, hi - 1, axis=0)[:hi, :]
+        if k_lo:
+            order = np.argsort(np.take_along_axis(lb, im, axis=0), axis=0)
+            im = np.take_along_axis(im, order, axis=0)[k_lo:, :]
+        out.append(np.stack([
+            im.reshape(-1), np.tile(np.arange(nqt_v), im.shape[0])
+        ], axis=1))
+    if not out:
+        return np.empty((0, 2), np.int64)
+    return np.unique(np.concatenate(out), axis=0)  # sorted by (pt, qt)
+
+
+def _fill_missing(pairs: np.ndarray, npt_v: int, nearest: np.ndarray) -> np.ndarray:
+    """Every valid p-tile must appear in every kernel launch: the p row-min is a
+    per-block OUTPUT, so an unvisited tile's rows come back undefined and would
+    poison the carried minima / upper bounds.  Missing tiles re-fold their
+    nearest pair — a no-op on the minima."""
+    present = np.bincount(pairs[:, 0], minlength=npt_v) > 0 if len(pairs) else \
+        np.zeros(npt_v, bool)
+    missing = np.nonzero(~present)[0]
+    if len(missing) == 0:
+        return pairs
+    extra = np.stack([missing, nearest[missing]], axis=1)
+    merged = np.concatenate([pairs, extra]) if len(pairs) else extra
+    return merged[np.lexsort((merged[:, 1], merged[:, 0]))]
 
 
 def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = False,
@@ -245,60 +318,67 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     qs = _pad_tiles(q[qorder], bq)
     npt_v, nqt_v = -(-n // _TP), -(-m // _TQ)  # tiles containing >=1 valid point
 
-    # -------- tile boxes + pairwise lower bounds (host, f64)
+    # -------- tile boxes + pairwise lower bounds (host)
     pt3 = ps[: npt_v * _TP].astype(np.float64).reshape(npt_v, _TP, 3)
     qt3 = qs[: nqt_v * _TQ].astype(np.float64).reshape(nqt_v, _TQ, 3)
-    # only valid rows shape the boxes (the final partial tile replicates its
-    # last VALID point into the padding, so min/max over the full tile is tight)
+    # the final partial tile replicates its last VALID point into the padding,
+    # so min/max over the full tile is tight
     lb = _box_lb(pt3.min(axis=1), pt3.max(axis=1), qt3.min(axis=1), qt3.max(axis=1))
-    rp2 = float(np.max(np.sum(pt3 * pt3, axis=2)))
-    rq2 = float(np.max(np.sum(qt3 * qt3, axis=2)))
-    margin = (rp2 + rq2 + 1.0) * 64 * 2.0**-23  # >> the kernel's f32 rounding
-
-    # -------- seed pair list: nearest box per tile, both directions
-    jstar = np.argmin(lb, axis=1)
-    istar = np.argmin(lb, axis=0)
-    seeds = np.concatenate([
-        np.stack([np.arange(npt_v), jstar], axis=1),
-        np.stack([istar, np.arange(nqt_v)], axis=1),
-    ])
-    seeds = np.unique(seeds, axis=0)  # sorted by (pt, qt): contiguous p-tile runs
 
     pv = (np.arange(bp) < n).astype(np.float32).reshape(bp, 1)
     qv = (np.arange(bq) < m).astype(np.float32).reshape(1, bq)
     qsT = np.ascontiguousarray(qs.T)
-    L1 = _bucket_pairs(len(seeds))
-    pt1, qt1 = _pad_pairs(seeds, L1)
-    pmin1, qmin1, ubp_d, ubq_d = _seed_pass(pt1, qt1, ps, qsT, pv, qv,
-                                            _TP, _TQ, interpret)
-    ubp = np.asarray(ubp_d[:npt_v], np.float64)
-    ubq = np.asarray(ubq_d[:nqt_v], np.float64)
+    done = np.zeros((npt_v, nqt_v), bool)
 
-    # -------- prune: a pair survives if its box lower bound could still beat
-    # some covered point's current minimum (in either direction)
-    keep = (lb < ubp[:, None] + margin) | (lb < ubq[None, :] + margin)
-    keep[np.arange(npt_v), jstar] = False  # already folded by the seed pass
-    keep[istar, np.arange(nqt_v)] = False
-    # every valid p-tile must appear so its output block is written (the refine
-    # pass re-folds its seed pair — a no-op on the minima)
+    # -------- tightening rounds: nearest tiles first, bounds re-fetched
+    pmin = jnp.full((bp, 1), jnp.inf, jnp.float32)
+    qmin = jnp.full((bq // _TQ, _TQ), jnp.inf, jnp.float32)
+    nearest = np.argmin(lb, axis=1)
+    ubp = ubq = None
+    k_lo = 0
+    round_sizes = []
+    for k_hi in _ROUNDS:
+        pairs = _nearest_pairs(lb, k_lo, k_hi)
+        if k_lo and ubp is not None:
+            # bounds from the previous round already prune this round's candidates
+            sel = (lb[pairs[:, 0], pairs[:, 1]]
+                   < np.maximum(ubp[pairs[:, 0]], ubq[pairs[:, 1]]) * _MARGIN)
+            sel &= ~done[pairs[:, 0], pairs[:, 1]]
+            pairs = pairs[sel]
+        pairs = _fill_missing(pairs, npt_v, nearest)
+        done[pairs[:, 0], pairs[:, 1]] = True
+        round_sizes.append(len(pairs))
+        ptx, qtx = _pad_pairs(pairs, _bucket_pairs(len(pairs)))
+        pmin, qmin, ubp_d, ubq_d = _round_pass(ptx, qtx, ps, qsT, pv, qv,
+                                               pmin, qmin, _TP, _TQ, interpret)
+        ubp = np.asarray(ubp_d[:npt_v], np.float64)
+        ubq = np.asarray(ubq_d[:nqt_v], np.float64)
+        k_lo = k_hi
+
+    # -------- final survivors: pairs whose lower bound could still beat some
+    # covered point's current minimum (in either direction)
+    keep = (lb < ubp[:, None] * _MARGIN) | (lb < ubq[None, :] * _MARGIN)
+    keep &= ~done
+    # every valid p-tile must appear once more so its output block is written
+    # (re-folding an already-done pair is a no-op on the minima)
     empty = ~keep.any(axis=1)
-    keep[empty, jstar[empty]] = True
+    keep[empty, nearest[empty]] = True
     pairs = np.argwhere(keep).astype(np.int32)  # row-major: sorted by p-tile
     if stats is not None:
         total = npt_v * nqt_v
-        stats.update(n=n, m=m, seed_pairs=len(seeds), refine_pairs=len(pairs),
-                     dense_pairs=total, survivor_frac=len(pairs) / total)
+        stats.update(n=n, m=m, round_pairs=round_sizes, final_pairs=len(pairs),
+                     dense_pairs=total,
+                     work_frac=(sum(round_sizes) + len(pairs)) * _TP * _TQ / (n * m))
 
-    L2 = _bucket_pairs(len(pairs))
-    pt2, qt2 = _pad_pairs(pairs, L2)
+    ptx, qtx = _pad_pairs(pairs, _bucket_pairs(len(pairs)))
     rank_p = np.zeros(bp, np.int32)
     rank_p[porder] = np.arange(n, dtype=np.int32)  # original i -> sorted row
     rank_q = np.zeros(bq, np.int32)
     rank_q[qorder] = np.arange(m, dtype=np.int32)
-    out, d_pq, d_qp = _refine_pass(pt2, qt2, ps, qsT, pv, qv, pmin1, qmin1,
-                                   rank_p, rank_q,
-                                   np.arange(bp) < n, np.arange(bq) < m,
-                                   _TP, _TQ, interpret)
+    out, d_pq, d_qp = _final_pass(ptx, qtx, ps, qsT, pv, qv, pmin, qmin,
+                                  rank_p, rank_q,
+                                  np.arange(bp) < n, np.arange(bq) < m,
+                                  _TP, _TQ, interpret)
     if stats is not None:
         stats["d_pq"] = np.asarray(d_pq)[:n]
         stats["d_qp"] = np.asarray(d_qp)[:m]
