@@ -147,7 +147,7 @@ def main():
     nside = int(os.environ.get("BENCH_NSIDE", 256))
     batch = int(os.environ.get("BENCH_BATCH", 2))
     steps = int(os.environ.get("BENCH_STEPS", 20))
-    # "swin_hp" | "swin" | "depth_swin_hp" (model registry names, models/tasks.py)
+    # "swin_hp" | "swin" | "depth_swin_hp" | "depth_swin" (registry names, models/tasks.py)
     which = os.environ.get("BENCH_MODEL", "swin_hp")
     npix = 8 * nside * nside
     n_classes = 10
@@ -173,6 +173,27 @@ def main():
         model = SwinTransformerSys(cfg, spec)
         x = jax.random.uniform(rng, (batch, H, W, 3), jnp.float32, 0.0, 255.0)
         y = jax.random.randint(rng, (batch, H, W), 0, n_classes, jnp.int32)
+    elif which == "depth_swin":
+        # paper FLAT depth config (reference depth_swin_train_run_config.py:56-92):
+        # flat SWIN backbone at 640x768, 1 output channel, masked-l2 loss
+        from heal_swin_tpu.models.swin_flat import (
+            SwinTransformerConfig, SwinTransformerSys,
+        )
+
+        H, W = 640, 768
+        cfg = SwinTransformerConfig(
+            patch_size=2, window_size=8, shift_size=2, embed_dim=96,
+            depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24], use_cos_attn=True,
+            use_v2_norm_placement=True, dtype="bfloat16", gelu_approx=True,
+            fused_final_head=os.environ.get("BENCH_FUSED", "1") != "0",
+        )
+        from heal_swin_tpu.data.data_spec import DepthDataSpec
+
+        spec = DepthDataSpec(dim_in=(H, W), f_in=3, f_out=1)
+        x = jax.random.uniform(rng, (batch, H, W, 3), jnp.float32, 0.0, 255.0)
+        depths = jax.random.uniform(rng, (batch, H, W), jnp.float32, 0.1, 60.0)
+        bg = jax.random.uniform(jax.random.PRNGKey(3), (batch, H, W)) < 0.35
+        y = jnp.where(bg, jnp.inf, depths)
     elif which == "depth_swin_hp":
         # paper depth config (reference depth_swin_hp_train_run_config.py:83-129):
         # same backbone capacity, 1 output channel, masked-l2 loss on inf-marked
@@ -213,6 +234,19 @@ def main():
         task = WoodscapeDepthSwinHP(
             WoodscapeDepthSwinHPConfig(
                 swin_hp_transformer_config=cfg,
+                common_depth_config=CommonDepthConfig(loss="l2"),
+            ),
+            spec,
+        )
+        model = task.model  # f_out=1 head
+    elif which == "depth_swin":
+        from heal_swin_tpu.models.tasks import (
+            CommonDepthConfig, WoodscapeDepthSwin, WoodscapeDepthSwinConfig,
+        )
+
+        task = WoodscapeDepthSwin(
+            WoodscapeDepthSwinConfig(
+                swin_transformer_config=cfg,
                 common_depth_config=CommonDepthConfig(loss="l2"),
             ),
             spec,
@@ -296,7 +330,7 @@ def main():
         task.model = model  # same module/params
         if fused_tail:
             assert task._fused_tail_ok(None), "fused tail gate rejected the bench config"
-    elif which == "depth_swin_hp":
+    elif which in ("depth_swin_hp", "depth_swin"):
         print(f"bench: depth task train path (fused_final_head={cfg.fused_final_head})",
               file=sys.stderr)
 
@@ -343,7 +377,7 @@ def main():
     # tests/test_flops.py) x3 for fwd+bwd, vs the v5e bf16 peak (197 TFLOP/s)
     from heal_swin_tpu.models.flops import swin_flat_flops, swin_hp_flops
 
-    counter = swin_flat_flops if which == "swin" else swin_hp_flops
+    counter = swin_flat_flops if which in ("swin", "depth_swin") else swin_hp_flops
     fwd_flops = counter(cfg, spec)["total"]
     train_flops = 3.0 * fwd_flops  # fwd + ~2x bwd
     achieved_tflops = images_per_sec * train_flops / 1e12
@@ -356,12 +390,14 @@ def main():
     metric_name = {
         "swin": "swin_unet_train_images_per_sec_per_chip",
         "depth_swin_hp": "heal_swin_depth_unet_train_images_per_sec_per_chip",
+        "depth_swin": "swin_depth_unet_train_images_per_sec_per_chip",
     }.get(which, "heal_swin_unet_train_images_per_sec_per_chip")
     print(json.dumps({
         "metric": metric_name,
         "value": round(images_per_sec, 3),
         "unit": (
-            f"images/sec/chip (flat 640x768, batch {batch}, bf16)" if which == "swin"
+            f"images/sec/chip (flat 640x768, batch {batch}, bf16)"
+            if which in ("swin", "depth_swin")
             else f"images/sec/chip (nside={nside}, {npix} px, batch {batch}, bf16)"
         ),
         "vs_baseline": round(images_per_sec / reference_a100_imgs_per_sec, 3),

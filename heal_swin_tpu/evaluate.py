@@ -109,6 +109,15 @@ def evaluate(eval_config: EvaluateConfig, pl_config: PLConfig, config_path: str 
                         getattr(trainer, "last_predict_steady_samples", 0),
                         getattr(trainer, "last_predict_steady_time", 0.0),
                         "predict+write")
+        dev = getattr(trainer, "predict_device_time", 0.0)
+        wrt = getattr(trainer, "predict_writer_time", 0.0)
+        if run is not None and dev + wrt > 0:
+            # device/host split of the predict phase (the device fetch overlaps
+            # the NEXT batch's compute, so dev here is the un-hidden remainder)
+            run.log_metrics({
+                metric_prefix + "predict_device_blocked_sec": dev,
+                metric_prefix + "predict_writer_host_sec": wrt,
+            })
 
     print("Evaluation finished.")
 

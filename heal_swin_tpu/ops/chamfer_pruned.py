@@ -49,6 +49,7 @@ any change to one must be mirrored in the other or bit-parity breaks.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -310,6 +311,7 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
         return float("nan")
     if max(n, m) > _MAX_POINTS:
         raise ValueError(f"pruned chamfer supports up to {_MAX_POINTS} points/side")
+    t0 = time.perf_counter()
 
     # -------- sort + pad (host)
     porder, qorder = _morton_order(p), _morton_order(q)
@@ -329,6 +331,7 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     qv = (np.arange(bq) < m).astype(np.float32).reshape(1, bq)
     qsT = np.ascontiguousarray(qs.T)
     done = np.zeros((npt_v, nqt_v), bool)
+    t_prep = time.perf_counter() - t0
 
     # -------- tightening rounds: nearest tiles first, bounds re-fetched
     pmin = jnp.full((bp, 1), jnp.inf, jnp.float32)
@@ -364,6 +367,7 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     empty = ~keep.any(axis=1)
     keep[empty, nearest[empty]] = True
     pairs = np.argwhere(keep).astype(np.int32)  # row-major: sorted by p-tile
+    t_rounds = time.perf_counter() - t0 - t_prep
     if stats is not None:
         total = npt_v * nqt_v
         stats.update(n=n, m=m, round_pairs=round_sizes, final_pairs=len(pairs),
@@ -379,7 +383,11 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
                                   rank_p, rank_q,
                                   np.arange(bp) < n, np.arange(bq) < m,
                                   _TP, _TQ, interpret)
+    val = float(out)
     if stats is not None:
         stats["d_pq"] = np.asarray(d_pq)[:n]
         stats["d_qp"] = np.asarray(d_qp)[:m]
-    return float(out)
+        stats["t_prep"] = t_prep
+        stats["t_rounds"] = t_rounds
+        stats["t_final"] = time.perf_counter() - t0 - t_prep - t_rounds
+    return val
