@@ -20,8 +20,8 @@ from heal_swin_tpu.data.data_spec import DataSpec
 from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig, SwinHPTransformerSys
 from heal_swin_tpu.training.losses import weighted_cross_entropy
 
-NSIDE = 256
-BATCH = 2
+NSIDE = int(os.environ.get("PROF_NSIDE", 256))
+BATCH = int(os.environ.get("PROF_BATCH", 2))
 NPIX = 8 * NSIDE * NSIDE
 
 cfg = SwinHPTransformerConfig(

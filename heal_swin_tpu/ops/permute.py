@@ -9,12 +9,26 @@ this is exact.
 The gather runs on the FLAT (B*N, C) view with batch-offset row indices: XLA's
 row-gather on the 2-D form measured 2.3x faster than the axis-1 gather on the 3-D
 form at paper scale (0.58 vs 1.35 ms for (2, 131072, 96) bf16 — the 3-D form gets a
-transposed (N, B, C) layout plus copies; benchmarks/block_gather_probe.py)."""
+transposed (N, B, C) layout plus copies; benchmarks/block_gather_probe.py).
+
+Large tables are gathered in per-batch-group chunks: XLA TPU's row gather falls
+off a cliff when the SOURCE table outgrows what it can stage on-chip — measured
+154 GB/s at a 72 MiB table vs 33.5 GB/s at 96 MiB (4.6x per-op, independent of
+index count; benchmarks/gather_cliff_probe.py).  The permutation is per-sample,
+so the flat table splits cleanly into groups of whole samples that stay under
+the cliff, each gathered with the shared group-local indices — identical values,
+and the in-model A/B at paper scale measured batch 4: 14.3 -> 16.66 img/s,
+batch 8: 12.8 -> 15.10 (docs/PERFORMANCE.md "Batch scaling")."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+# Largest source table the fast gather path handles (bytes).  Measured on v5e:
+# 72 MiB tables gather at ~154 GB/s, 96 MiB at ~33.5 GB/s — the cliff sits
+# between; 76 MiB keeps every measured-fast shape on the fast side.
+_TABLE_BYTES_FAST = 76 * 2**20
 
 
 def _flat_perm(perm, B, N):
@@ -22,11 +36,32 @@ def _flat_perm(perm, B, N):
     return (perm[None, :] + (jnp.arange(B, dtype=perm.dtype) * N)[:, None]).reshape(-1)
 
 
+def _group_size(B: int, sample_bytes: int) -> int:
+    """Largest divisor of B whose group table stays under the gather cliff
+    (1 if even a single sample exceeds it — nothing to chunk then)."""
+    for m in range(B, 0, -1):
+        if B % m == 0 and m * sample_bytes <= _TABLE_BYTES_FAST:
+            return m
+    return 1
+
+
+def _permute_gather(x, perm):
+    """(B, N, C) -> (B, N, C) rows-of-flat-view gather, chunked past the cliff."""
+    B, N, C = x.shape
+    flat = x.reshape(B * N, C)
+    m = _group_size(B, N * C * x.dtype.itemsize)
+    if m == B or m * N * C * x.dtype.itemsize > _TABLE_BYTES_FAST:
+        rows = _flat_perm(perm, B, N)
+        return jnp.take(flat, rows, axis=0).reshape(B, N, C)
+    rows = _flat_perm(perm, m, N)
+    L = m * N
+    outs = [jnp.take(flat[i * L:(i + 1) * L], rows, axis=0) for i in range(B // m)]
+    return jnp.concatenate(outs, axis=0).reshape(B, N, C)
+
+
 @jax.custom_vjp
 def permute_tokens(x, perm, inv_perm):
-    B, N, C = x.shape
-    rows = _flat_perm(perm, B, N)
-    return jnp.take(x.reshape(B * N, C), rows, axis=0).reshape(B, N, C)
+    return _permute_gather(x, perm)
 
 
 def _fwd(x, perm, inv_perm):
@@ -35,10 +70,8 @@ def _fwd(x, perm, inv_perm):
 
 def _bwd(res, g):
     perm, inv_perm = res
-    B, N, C = g.shape
-    rows = _flat_perm(inv_perm, B, N)
     zeros = jnp.zeros(perm.shape, dtype=jax.dtypes.float0)
-    return jnp.take(g.reshape(B * N, C), rows, axis=0).reshape(B, N, C), zeros, zeros
+    return _permute_gather(g, inv_perm), zeros, zeros
 
 
 permute_tokens.defvjp(_fwd, _bwd)
