@@ -116,6 +116,9 @@ class Trainer:
             or _os.environ.get("HEAL_SWIN_FORCE_SHMAP") == "1"
         )
 
+        if self.n_processes > 1:
+            self._warm_collective_contexts()
+
         self.ckpt_manager = None
         if ckpt_dir is not None and pl_config.checkpoint_callback and not pl_config.fast_dev_run:
             self.ckpt_manager = ckpt_lib.CheckpointManager(
@@ -124,6 +127,37 @@ class Trainer:
 
         self.global_step = 0
         self.current_epoch = 0
+
+    def _warm_collective_contexts(self):
+        """Create every collective communicator the steps will use while all
+        processes are still in lockstep.
+
+        XLA CPU's gloo backend builds a context per participant set LAZILY, at
+        the first collective over that set, with a hard 30 s rendezvous
+        timeout — but the first such collective sits inside the multi-minute
+        train-step compile, and processes compiling at different speeds (a
+        loaded single-core host) blow the window: 'Gloo context initialization
+        failed: GetKeyValue() timed out'.  Running one trivial psum per mesh
+        axis (and over the full mesh) right after distributed init creates all
+        contexts when the inter-process skew is milliseconds; the real steps
+        then reuse them.  No-op cost on TPU pods (ICI needs no rendezvous), so
+        it runs for any multi-process mesh."""
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(self.mesh.axis_names)
+        groups = [axes] if len(axes) > 1 else []
+        groups += [(a,) for a in axes if self.mesh.shape[a] > 1]
+
+        def warm():
+            v = jnp.ones((1, 1), jnp.float32)
+            terms = [jax.lax.psum(v, g) for g in groups]
+            return sum(terms[1:], terms[0]) if terms else v
+
+        # check_vma off: the operand is shard-constant (that is the point — a
+        # rendezvous, not a computation), which strict vma typing rejects
+        f = jax.jit(jax.shard_map(warm, mesh=self.mesh, in_specs=(), out_specs=P(),
+                                  check_vma=False))
+        np.asarray(f())  # fetch = the synchronization point
 
     # ------------------------------------------------------------------ util
     def _log(self, metrics: Dict[str, float], step: Optional[int] = None):
