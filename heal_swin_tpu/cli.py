@@ -33,7 +33,11 @@ def main():
         p = sub.add_parser(name)
         p.add_argument("--config_path", required=True)
 
-    sub.add_parser("test-repo")
+    p_test = sub.add_parser("test-repo")
+    p_test.add_argument(
+        "--all", action="store_true",
+        help="also run the paper-scale/e2e tests marked slow (full CI tier)",
+    )
     p = sub.add_parser("bench")
     p.add_argument("--input", choices=["synthetic", "real"], default="synthetic",
                    help="'real' drives the full input pipeline (decode + prefetch + "
@@ -78,9 +82,12 @@ def main():
         tests = root / "tests"
         if not tests.is_dir():
             sys.exit(f"test-repo needs the source checkout (no tests/ next to {root})")
-        sys.exit(subprocess.call(
-            [sys.executable, "-m", "pytest", str(tests), "-x", "-q"], cwd=root
-        ))
+        cmd = [sys.executable, "-m", "pytest", str(tests), "-x", "-q"]
+        if not args.all:
+            # fast tier (reference run.py has a single `pytest` tier; the slow
+            # marker keeps the dev loop under ~10 min — full suite via --all)
+            cmd += ["-m", "not slow"]
+        sys.exit(subprocess.call(cmd, cwd=root))
     elif args.cmd == "bench":
         bench = root / "bench.py"
         if not bench.is_file():

@@ -2,6 +2,7 @@
 device memory stats."""
 
 import numpy as np
+import pytest
 
 
 def test_plot_healpy_img(tmp_path):
@@ -45,6 +46,7 @@ def test_device_memory_stats():
     assert isinstance(stats, dict)  # may be empty on CPU backends
 
 
+@pytest.mark.slow
 def test_masked_iou_eval(tmp_path, monkeypatch):
     """evaluate(log_masked_iou=True) logs {prefix}val_masked_iou into the run."""
     monkeypatch.setenv("HEAL_SWIN_MLRUNS", str(tmp_path / "mlruns"))

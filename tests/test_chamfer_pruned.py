@@ -52,6 +52,7 @@ def _clouds():
     }
 
 
+@pytest.mark.slow  # interpret-mode 1024^2 blocks, ~minutes each
 @pytest.mark.parametrize("name", ["uniform", "clustered", "lattice", "tiny_asym",
                                   "identical"])
 def test_pruned_bit_equals_brute(name):
@@ -73,6 +74,7 @@ def test_pruned_bit_equals_brute(name):
     assert pruned == pytest.approx(oracle, rel=1e-5, abs=1e-9)
 
 
+@pytest.mark.slow  # interpret-mode 1024^2 blocks, ~minutes each
 @pytest.mark.parametrize("name", ["uniform", "clustered", "lattice"])
 def test_pruned_per_point_minima_bit_equal_dense(name, monkeypatch):
     """Per-point minima (both directions, original point order) bit-equal to a
@@ -93,6 +95,25 @@ def test_pruned_per_point_minima_bit_equal_dense(name, monkeypatch):
         assert a.tobytes() == b.tobytes(), (
             f"{name}/{key}: {np.count_nonzero(a != b)} of {a.size} minima differ"
         )
+
+
+@pytest.mark.slow  # interpret-mode 1024^2 blocks, ~minutes each
+@pytest.mark.parametrize("name", ["uniform", "clustered"])
+def test_pruned_chunked_launches_bit_equal(name, monkeypatch):
+    """SMEM-sized pair-list chunking (the v5e 1 MiB scalar-prefetch budget at
+    paper scale forces multi-launch folding) is bit-equal to the one-launch
+    path: the fold is order-invariant and fillers are no-ops."""
+    p, q = _clouds()[name]
+    one = {}
+    chamfer_one = chp.chamfer_distance_pruned(p, q, interpret=True, stats=one)
+
+    monkeypatch.setattr(chp, "_MAX_PAIRS_PER_LAUNCH", 64)  # force multi-launch
+    many = {}
+    chamfer_many = chp.chamfer_distance_pruned(p, q, interpret=True, stats=many)
+
+    assert np.float32(chamfer_one).tobytes() == np.float32(chamfer_many).tobytes()
+    for key in ("d_pq", "d_qp"):
+        assert one[key].tobytes() == many[key].tobytes()
 
 
 def test_pruned_empty_and_dispatch():

@@ -114,6 +114,7 @@ def _paths(env, monkeypatch):
     monkeypatch.setenv("HEAL_SWIN_MLRUNS", str(env["mlruns"]))
 
 
+@pytest.mark.slow
 def test_depth_hp_train_and_chamfer_eval(env):
     from heal_swin_tpu.data.data_config import (
         WoodscapeCommonConfig,
@@ -247,6 +248,7 @@ def test_depth_hp_val_on_back_projected(env):
         assert run.get_metric_history(metric), f"{metric} missing"
 
 
+@pytest.mark.slow
 def test_depth_flat_chamfer_writer_artifacts(env, tmp_path):
     """Flat chamfer writer: 4 cumulative metrics (pred cut to the HP footprint for the
     hp_masked variants, reference flat_depth_pred_writers.py:576-625) + best/worst

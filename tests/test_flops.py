@@ -15,6 +15,8 @@ from heal_swin_tpu.models import flops as F
 from heal_swin_tpu.models.swin_flat import SwinTransformerConfig, SwinTransformerSys
 from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig, SwinHPTransformerSys
 
+pytestmark = pytest.mark.slow  # XLA cost-analysis cross-check compiles, ~1 min (fast tier: run.py test-repo)
+
 
 def _hp_setup():
     npix = 8 * 32 * 32

@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # two coordinator-connected subprocess trainings, ~8 min (fast tier: run.py test-repo)
+
 REPO = Path(__file__).resolve().parent.parent
 EPOCHS = 2
 

@@ -39,6 +39,8 @@ from heal_swin_tpu.models.swin_hp import SwinHPTransformerConfig, SwinHPTransfor
 from heal_swin_tpu.models.swin_flat import SwinTransformerConfig, SwinTransformerSys  # noqa: E402
 from heal_swin_tpu.ops import shifting as sh  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle forward parity at near-paper widths, ~3 min (fast tier: run.py test-repo)
+
 NPIX = 8 * 16 * 16  # nside=16
 
 

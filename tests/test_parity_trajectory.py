@@ -145,6 +145,7 @@ def _no_dropout(run_config):
     )
 
 
+@pytest.mark.slow
 def test_seg_adam_trajectory_matches_torch(tmp_path):
     """Weighted-CE segmentation, Adam with torch-style weight decay: 6 optimizer
     steps from copied weights track the reference stack's loss trajectory and
@@ -204,6 +205,7 @@ def test_seg_adam_trajectory_matches_torch(tmp_path):
     _assert_params_close(final_repo, ref, template, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_depth_masked_l2_trajectory_matches_torch(tmp_path):
     """Masked depth regression (inf-marked background), reference mse loss
     (loss_depth_regression.py:9-20, sq_diff/2 meaned over valid pixels), plain

@@ -26,6 +26,8 @@ from heal_swin_tpu.training.train_config import PLConfig
 from heal_swin_tpu.training.trainer import Trainer
 from heal_swin_tpu.utils.utils import get_config_from_config_path
 
+pytestmark = pytest.mark.slow  # multi-epoch shard_map equivalence fits, ~8 min (fast tier: run.py test-repo)
+
 CONFIG = "run_configs/swin_hp_test_run_config.py"
 
 

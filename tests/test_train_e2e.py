@@ -77,6 +77,7 @@ def test_train_swin_hp_e2e(mlruns):
     _validate_run(mlruns, run_id, SEG_METRICS, SEG_PARAMS)
 
 
+@pytest.mark.slow
 def test_resume_e2e(mlruns):
     """Train, then resume from last.ckpt (reference testing/test_resume.py:9-41)."""
     run_id, result, run_config, pl_config = _train()
@@ -93,6 +94,7 @@ def test_resume_e2e(mlruns):
     _validate_run(mlruns, new_run_id, ["train_loss", "val_loss"], ["batch_size"])
 
 
+@pytest.mark.slow
 def test_resume_finished_run_e2e(mlruns):
     """Resume a run whose max_epochs is already reached (the default crashed-run
     resume config reuses the saved pl_config): zero epochs run, but the restored
@@ -115,6 +117,7 @@ def test_resume_finished_run_e2e(mlruns):
     assert run.status == "FINISHED"
 
 
+@pytest.mark.slow
 def test_evaluate_e2e(mlruns, tmp_path):
     run_id, *_ = _train()
 

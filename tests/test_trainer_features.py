@@ -83,6 +83,7 @@ def test_early_stopping_patience(tmp_path):
     assert result.epochs_run == 2  # epoch 0 sets the baseline, epoch 1 trips patience
 
 
+@pytest.mark.slow
 def test_min_epochs_defers_early_stopping(tmp_path):
     """min_epochs keeps training past a tripped early-stopping patience
     (Lightning semantics)."""
@@ -99,6 +100,7 @@ def test_min_epochs_defers_early_stopping(tmp_path):
     assert result.epochs_run == 4  # patience trips at epoch 1 but min_epochs=4 holds
 
 
+@pytest.mark.slow
 def test_val_check_interval_mid_epoch(tmp_path):
     """val_check_interval=0.5 validates mid-epoch AND at epoch end (Lightning
     fraction semantics) — previously the field was accepted and silently ignored."""
@@ -131,6 +133,7 @@ def test_warn_on_ignored_pl_fields():
     assert ok == [] and len(w) == 0
 
 
+@pytest.mark.slow
 def test_lr_find_range_test(tmp_path):
     """LR range test (reference auto_lr_find, train.py:204-217): sweeps lr
     exponentially and suggests a finite lr inside the sweep range."""
@@ -152,6 +155,7 @@ def test_lr_find_range_test(tmp_path):
     assert all(b > a for a, b in zip(lrs, lrs[1:]))
 
 
+@pytest.mark.slow
 def test_lr_find_under_seq_parallel(tmp_path):
     """lr_find on a (data=4, seq=2) mesh: the jit sweep replicates over 'seq' and
     must match the dp-only sweep's losses exactly (same global batches, same rng)."""
@@ -174,6 +178,7 @@ def test_lr_find_under_seq_parallel(tmp_path):
     assert lrs_sp == lrs_dp
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_bigger_batch(tmp_path):
     """accumulate_grad_batches=2 @ batch 2 must equal one optimizer step @ batch 4
     (optax.MultiSteps averages the micro-batch gradients; losses are batch means)."""

@@ -9,6 +9,8 @@ import pytest
 from heal_swin_tpu.data.synthetic_woodscape import generate
 from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
 
+pytestmark = pytest.mark.slow  # full WoodScape-format e2e trainings, ~2 min (fast tier: run.py test-repo)
+
 NSIDE = 16
 
 
