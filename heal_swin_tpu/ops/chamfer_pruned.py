@@ -59,8 +59,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from heal_swin_tpu.ops.chamfer import _bucket
 
-_TP = 256  # p-tile rows (sublane multiple)
-_TQ = 512  # q-tile lanes (128 multiple); smaller tiles prune finer than brute's 1024
+# Tile sizes trade pruning granularity against per-grid-step efficiency.  The
+# first cut used (256, 512) for finer bounds — work_frac 1.4-2.6% at 1.24M
+# points, but the pair-list kernel then ran ~40 us/step (vs ~0.5 us of VPU
+# content: small scattered blocks are latency-bound), and the pruned pipeline
+# only broke even with brute force.  (1024, 1024) matches the brute kernel's
+# block economics: 16x fewer steps and 16x smaller host tile math, at a
+# coarser enumeration — measured end-to-end numbers in docs/PERFORMANCE.md
+# (benchmarks/chamfer_pruned_probe.py).
+_TP = 1024  # p-tile rows (sublane multiple)
+_TQ = 1024  # q-tile lanes (128 multiple)
 
 # Above this the refine kernel's resident (M/_TQ, _TQ) col-min block would push
 # scoped VMEM; paper full_res clouds (~1.6M bucket) are well inside.
@@ -240,6 +248,17 @@ _ROUNDS = (4, 16)
 _MARGIN = 1.0 + 1e-5
 
 
+# Pair-list entries per kernel launch: the (pt, qt) lists ride the scalar-
+# prefetch path, which lives in SMEM — 1 MiB total on v5e, and Mosaic rejects
+# programs whose prefetched operands exceed it (measured: a 262144-pair list =
+# 2 x 1 MiB operands -> "Ran out of memory in memory space smem").  49152 keeps
+# each launch's two padded s32 lists at <= 2 x 256 KiB after half-octave
+# bucketing + per-chunk missing-tile filler.  Longer lists fold chunk-by-chunk
+# through the carried minima — the fold is order-invariant, so values are
+# unchanged (pinned by tests/test_chamfer_pruned.py::test_pruned_chunked_*).
+_MAX_PAIRS_PER_LAUNCH = 49152
+
+
 def _bucket_pairs(n: int) -> int:
     """Half-octave bucket for the pair-list length (bounds recompiles across
     samples; padding repeats the last pair, a harmless re-fold)."""
@@ -281,6 +300,15 @@ def _nearest_pairs(lb: np.ndarray, k_lo: int, k_hi: int) -> np.ndarray:
     if not out:
         return np.empty((0, 2), np.int64)
     return np.unique(np.concatenate(out), axis=0)  # sorted by (pt, qt)
+
+
+def _chunk_pairs(pairs: np.ndarray, npt_v: int, nearest: np.ndarray):
+    """Split a sorted-by-p-tile pair list into SMEM-sized launches, each with
+    the every-valid-p-tile cover restored (``_fill_missing`` — an unvisited
+    tile's row-min output block would come back undefined)."""
+    chunks = [pairs[i:i + _MAX_PAIRS_PER_LAUNCH]
+              for i in range(0, max(len(pairs), 1), _MAX_PAIRS_PER_LAUNCH)]
+    return [_fill_missing(c, npt_v, nearest) for c in chunks]
 
 
 def _fill_missing(pairs: np.ndarray, npt_v: int, nearest: np.ndarray) -> np.ndarray:
@@ -348,12 +376,16 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
                    < np.maximum(ubp[pairs[:, 0]], ubq[pairs[:, 1]]) * _MARGIN)
             sel &= ~done[pairs[:, 0], pairs[:, 1]]
             pairs = pairs[sel]
-        pairs = _fill_missing(pairs, npt_v, nearest)
         done[pairs[:, 0], pairs[:, 1]] = True
-        round_sizes.append(len(pairs))
-        ptx, qtx = _pad_pairs(pairs, _bucket_pairs(len(pairs)))
-        pmin, qmin, ubp_d, ubq_d = _round_pass(ptx, qtx, ps, qsT, pv, qv,
-                                               pmin, qmin, _TP, _TQ, interpret)
+        n_folded = 0
+        for chunk in _chunk_pairs(pairs, npt_v, nearest):
+            n_folded += len(chunk)
+            ptx, qtx = _pad_pairs(chunk, _bucket_pairs(len(chunk)))
+            pmin, qmin, ubp_d, ubq_d = _round_pass(ptx, qtx, ps, qsT, pv, qv,
+                                                   pmin, qmin, _TP, _TQ, interpret)
+        round_sizes.append(n_folded)
+        # bounds from the LAST launch are global: its _fill_missing cover means
+        # pmin2/qmin carried every tile's running min
         ubp = np.asarray(ubp_d[:npt_v], np.float64)
         ubq = np.asarray(ubq_d[:nqt_v], np.float64)
         k_lo = k_hi
@@ -374,11 +406,16 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
                      dense_pairs=total,
                      work_frac=(sum(round_sizes) + len(pairs)) * _TP * _TQ / (n * m))
 
-    ptx, qtx = _pad_pairs(pairs, _bucket_pairs(len(pairs)))
     rank_p = np.zeros(bp, np.int32)
     rank_p[porder] = np.arange(n, dtype=np.int32)  # original i -> sorted row
     rank_q = np.zeros(bq, np.int32)
     rank_q[qorder] = np.arange(m, dtype=np.int32)
+    chunks = _chunk_pairs(pairs, npt_v, nearest)
+    for chunk in chunks[:-1]:  # fold all but the last launch into the carry
+        ptx, qtx = _pad_pairs(chunk, _bucket_pairs(len(chunk)))
+        pmin, qmin, _, _ = _round_pass(ptx, qtx, ps, qsT, pv, qv,
+                                       pmin, qmin, _TP, _TQ, interpret)
+    ptx, qtx = _pad_pairs(chunks[-1], _bucket_pairs(len(chunks[-1])))
     out, d_pq, d_qp = _final_pass(ptx, qtx, ps, qsT, pv, qv, pmin, qmin,
                                   rank_p, rank_q,
                                   np.arange(bp) < n, np.arange(bq) < m,
