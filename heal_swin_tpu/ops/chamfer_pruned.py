@@ -1,14 +1,14 @@
 """Exact neighbor-pruned Chamfer distance (TPU-native).
 
 The brute-force kernel in ``ops/chamfer.py`` is at the VPU f32 roofline
-(12.5 s/pair at 1.24M points) — the remaining headroom is algorithmic.  This
-module prunes the *enumeration* of candidate pairs without changing a single
-computed value: the per-pair squared-distance math, the min folds, and the
-masked means are the exact same f32 expressions as the brute kernel, and a pair
-is skipped only when a conservative bounding-box lower bound proves its computed
-distance cannot beat the point's already-established minimum.  The returned
-per-point minima (and the final scalar) are therefore bit-identical to the
-brute-force path (pinned by ``tests/test_chamfer_pruned.py``).
+(~10-12.5 s/pair at 1.24M points) — the remaining headroom is algorithmic.
+This module prunes the *enumeration* of candidate pairs without changing a
+single computed value: the per-pair squared-distance math, the min folds, and
+the masked means are the exact same f32 expressions as the brute kernel, and a
+pair is skipped only when a conservative bounding-box lower bound proves its
+computed distance cannot beat the point's already-established minimum.  The
+returned per-point minima (and the final scalar) are therefore bit-identical
+to the brute-force path (pinned by ``tests/test_chamfer_pruned.py``).
 
 Matches the semantics of the reference's CUDA chamfer module
 (``/root/reference/heal_swin/evaluation/custom_metrics.py:471-577``): mean of
@@ -17,12 +17,12 @@ squared NN distances, both directions.
 Pipeline (host numpy is cheap, device does all distance math):
 
 1. **Morton-sort** both clouds (host): spatially local points land in the same
-   fixed-size tile (``_TP`` = 256 p-side, ``_TQ`` = 512 q-side).
+   fixed-size tile (``_TP`` p-side, ``_TQ`` q-side).
 2. **Tile AABBs + pairwise box lower bounds** (host, f64): ``lb(i, j)`` is the
    squared distance between tile bounding boxes — a true lower bound on every
    pair distance between the tiles.
 3. **Tightening rounds** (device): each tile folds its nearest boxes
-   (``_ROUNDS`` nearest, cumulative) through the pair kernel; after each round
+   (``_ROUNDS`` nearest, cumulative) through the row kernel; after each round
    the per-tile upper bounds ``ub = max over the tile's valid points of its
    running min`` are re-fetched, and the next round's candidates are pruned
    against them.  Every point's true-NN tile survives every prune (its lower
@@ -33,14 +33,25 @@ Pipeline (host numpy is cheap, device does all distance math):
    ulp of relative rounding in both the kernel's difference-form distance and
    the f32 box bound.  A pruned pair's computed distance provably exceeds the
    running min of every point it covers, so folding it in would be a no-op.
-5. **Final pass** (device): one scalar-prefetch Pallas kernel walks the
-   surviving (p-tile, q-tile) list (sorted by p-tile so each p-tile's running
-   min block stays VMEM-resident across its run), folding each (TP, TQ)
-   distance block into the p-side row-min AND the q-side col-min — each
-   surviving block is computed once, like the fused brute kernel.
+5. **Fold survivors** (device): the row kernel (below) computes each surviving
+   (TP, TQ) distance block once, folding it into a per-row p-side min and the
+   resident q-side col-min; a scatter-min merges row outputs into the global
+   running minima.
 6. **Unsort + means**: minima are gathered back to the original point order and
    reduced with the same masked-mean expression (same shapes) as the brute
    path, so the scalar matches bit-for-bit.
+
+Kernel shape (2-D row grid).  The first cut walked a flat (p-tile, q-tile)
+pair list with a 1-D grid whose p-side blocks AND output block were indexed by
+``pt[i]`` — data-dependent block revisitation that Mosaic must treat
+conservatively, measured at ~40-60 us of fixed cost per grid step (~100x the
+~0.5 us of VPU content; the pipeline merely broke even with brute force).  The
+pair list is now grouped into ROWS of one p-tile x ``_K0`` q-tiles and the
+grid is (rows, _K0): the p block and the row's output minima have indices that
+are constant along the inner axis and sequential along the outer axis, so only
+the tiny q-side blocks move per step.  Row outputs merge into the global
+minima with a jnp scatter-min (exact — min is order-free), which also removes
+the old every-tile-must-be-visited constraint.
 
 The kernel math must stay in lock-step with ``chamfer._min_both_kernel`` —
 any change to one must be mirrored in the other or bit-parity breaks.
@@ -59,16 +70,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from heal_swin_tpu.ops.chamfer import _bucket
 
-# Tile sizes trade pruning granularity against per-grid-step efficiency.  The
-# first cut used (256, 512) for finer bounds — work_frac 1.4-2.6% at 1.24M
-# points, but the pair-list kernel then ran ~40 us/step (vs ~0.5 us of VPU
-# content: small scattered blocks are latency-bound), and the pruned pipeline
-# only broke even with brute force.  (1024, 1024) matches the brute kernel's
-# block economics: 16x fewer steps and 16x smaller host tile math, at a
-# coarser enumeration — measured end-to-end numbers in docs/PERFORMANCE.md
-# (benchmarks/chamfer_pruned_probe.py).
+# Tile sizes trade pruning granularity against per-step efficiency; (1024,
+# 1024) matches the brute kernel's block economics (a (256, 512) variant
+# measured 2-3x more pruning but 16x more grid steps and lost end-to-end).
 _TP = 1024  # p-tile rows (sublane multiple)
 _TQ = 1024  # q-tile lanes (128 multiple)
+
+# q-tiles per kernel row: amortizes the row's p-side DMAs over _K0 inner steps
+# and keeps the scalar-prefetch row tables small.
+_K0 = 16
+
+# Rows per kernel launch: the (rows,) p-tile ids + flat (rows * _K0,) q-tile
+# ids ride the scalar-prefetch path (SMEM, 1 MiB on v5e — a single over-budget
+# operand is a Mosaic compile error; 2-D SMEM operands lane-pad their minor
+# dim to 128, so the q table must stay 1-D).  8192 rows = (1 + 16) * 4 B *
+# 8192 = 544 KiB; longer lists fold launch-by-launch through the carried
+# minima (order-invariant, bit-equal — pinned by
+# tests/test_chamfer_pruned.py::test_pruned_chunked_launches_bit_equal).
+_MAX_ROWS_PER_LAUNCH = 8192
 
 # Above this the refine kernel's resident (M/_TQ, _TQ) col-min block would push
 # scoped VMEM; paper full_res clouds (~1.6M bucket) are well inside.
@@ -127,24 +146,23 @@ def _pad_tiles(pts: np.ndarray, total: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ pallas kernel
-def _pair_min_kernel(pt_ref, qt_ref, p_ref, qT_ref, pv_ref, qv_ref, pmin_in_ref,
-                     pmin_ref, qmin_ref):
-    """One pair-list step: the (TP, TQ) squared-distance block between
-    p-tile pt_ref[i] and q-tile qt_ref[i], folded into the p row-min (block
-    output, resident across the tile's contiguous run; seeded from pmin_in on
-    the run's first step) and the q col-min (whole (nqt, TQ) array resident as
+def _row_min_kernel(pid_ref, qidx_ref, p_ref, qT_ref, pv_ref, qv_ref, pmin_in_ref,
+                    pmin_ref, qmin_ref):
+    """One (row, k) step: the (TP, TQ) squared-distance block between the row's
+    p-tile and its k-th q-tile, folded into the row's p-side min (output block
+    (i, 0) — resident across the row's _K0 inner steps, seeded from the global
+    running min at k == 0) and the q col-min (whole (nqt, TQ) array resident as
     a constant-index block, dynamic-row updated — same scheme as the brute
     kernel's col-min).  Distance math is bit-identical to
     chamfer._min_both_kernel."""
     i = pl.program_id(0)
-    prev = pt_ref[jnp.maximum(i - 1, 0)]
-    first = jnp.logical_or(i == 0, pt_ref[i] != prev)
+    k = pl.program_id(1)
 
-    @pl.when(first)
-    def _init_pmin():
+    @pl.when(k == 0)
+    def _seed_row():
         pmin_ref[...] = pmin_in_ref[...]
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(i == 0, k == 0))
     def _init_qmin():
         qmin_ref[...] = jnp.full_like(qmin_ref, jnp.inf)
 
@@ -161,67 +179,71 @@ def _pair_min_kernel(pt_ref, qt_ref, p_ref, qT_ref, pv_ref, qv_ref, pmin_in_ref,
     m = jnp.min(jnp.where(qv > 0.0, d, jnp.inf), axis=1, keepdims=True)
     pmin_ref[...] = jnp.minimum(pmin_ref[...], m)
     c = jnp.min(jnp.where(pv > 0.0, d, jnp.inf), axis=0)
-    j = qt_ref[i]
+    # qidx is FLAT (R * K0,): a (R, K0) SMEM operand would lane-pad to 128 cols
+    j = qidx_ref[i * pl.num_programs(1) + k]
     qmin_ref[j, :] = jnp.minimum(qmin_ref[j, :], c)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pair_min(N: int, M: int, L: int, tp: int, tq: int, interpret: bool):
+def _make_row_min(N: int, M: int, R: int, tp: int, tq: int, k0: int, interpret: bool):
     nqt = M // tq
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(L,),
+        grid=(R, k0),
         in_specs=[
-            pl.BlockSpec((tp, 3), lambda i, pt, qt: (pt[i], 0)),
-            pl.BlockSpec((3, tq), lambda i, pt, qt: (0, qt[i])),
-            pl.BlockSpec((tp, 1), lambda i, pt, qt: (pt[i], 0)),
-            pl.BlockSpec((1, tq), lambda i, pt, qt: (0, qt[i])),
-            pl.BlockSpec((tp, 1), lambda i, pt, qt: (pt[i], 0)),
+            pl.BlockSpec((tp, 3), lambda i, k, pid, qidx: (pid[i], 0)),
+            pl.BlockSpec((3, tq), lambda i, k, pid, qidx: (0, qidx[i * k0 + k])),
+            pl.BlockSpec((tp, 1), lambda i, k, pid, qidx: (pid[i], 0)),
+            pl.BlockSpec((1, tq), lambda i, k, pid, qidx: (0, qidx[i * k0 + k])),
+            pl.BlockSpec((tp, 1), lambda i, k, pid, qidx: (pid[i], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tp, 1), lambda i, pt, qt: (pt[i], 0)),
-            pl.BlockSpec((nqt, tq), lambda i, pt, qt: (0, 0)),
+            pl.BlockSpec((tp, 1), lambda i, k, pid, qidx: (i, 0)),
+            pl.BlockSpec((nqt, tq), lambda i, k, pid, qidx: (0, 0)),
         ],
     )
 
-    def call(pt, qt, p, qT, pv, qv, pmin_in):
+    def call(pid, qidx, p, qT, pv, qv, pmin_in):
         return pl.pallas_call(
-            _pair_min_kernel,
+            _row_min_kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((R * tp, 1), jnp.float32),
                 jax.ShapeDtypeStruct((nqt, tq), jnp.float32),
             ],
             interpret=interpret,
-        )(pt, qt, p, qT, pv, qv, pmin_in)
+        )(pid, qidx, p, qT, pv, qv, pmin_in)
 
     return call
 
 
 # ------------------------------------------------------------------ device passes
-@functools.partial(jax.jit, static_argnames=("tp", "tq", "interpret"))
-def _round_pass(pt, qt, p, qT, pv, qv, pmin_in, qmin_in, tp: int, tq: int,
-                interpret: bool):
-    """Fold one pair list on top of the running minima and derive the per-tile
-    upper bounds (max over each tile's VALID points of its running min)."""
-    N, M, L = p.shape[0], qT.shape[1], pt.shape[0]
-    pmin2, qmin2 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin_in)
+@functools.partial(jax.jit, static_argnames=("tp", "tq", "k0", "interpret"))
+def _fold_rows(pid, qidx, p, qT, pv, qv, pmin_in, qmin_in, tp: int, tq: int,
+               k0: int, interpret: bool):
+    """Fold one row table on top of the running minima.  Row outputs merge into
+    the global p-side min with a scatter-min (min is order-free, so values are
+    bit-equal to any fold order); also derives the per-tile upper bounds
+    (max over each tile's VALID points of its running min)."""
+    N, M, R = p.shape[0], qT.shape[1], pid.shape[0]
+    rows, qmin2 = _make_row_min(N, M, R, tp, tq, k0, interpret)(
+        pid, qidx, p, qT, pv, qv, pmin_in
+    )
+    gmin = jnp.full((N // tp, tp), jnp.inf, jnp.float32)
+    gmin = gmin.at[pid].min(rows.reshape(R, tp), mode="drop")
+    pmin = jnp.minimum(pmin_in, gmin.reshape(N, 1))
     qmin = jnp.minimum(qmin_in, qmin2)
-    ubp = jnp.max(jnp.where(pv > 0.0, pmin2, -jnp.inf).reshape(N // tp, tp), axis=1)
+    ubp = jnp.max(jnp.where(pv > 0.0, pmin, -jnp.inf).reshape(N // tp, tp), axis=1)
     ubq = jnp.max(jnp.where(qv.reshape(M // tq, tq) > 0.0, qmin, -jnp.inf), axis=1)
-    return pmin2, qmin, ubp, ubq
+    return pmin, qmin, ubp, ubq
 
 
-@functools.partial(jax.jit, static_argnames=("tp", "tq", "interpret"))
-def _final_pass(pt, qt, p, qT, pv, qv, pmin_in, qmin_in, rank_p, rank_q,
-                p_valid, q_valid, tp: int, tq: int, interpret: bool):
-    """Fold the final surviving pair list, gather the minima back to the
-    original point order, and reduce with the same masked-mean expression (and
-    shapes) as chamfer.chamfer_distance_masked_pallas."""
-    N, M, L = p.shape[0], qT.shape[1], pt.shape[0]
-    pmin2, qmin2 = _make_pair_min(N, M, L, tp, tq, interpret)(pt, qt, p, qT, pv, qv, pmin_in)
-    qmin = jnp.minimum(qmin_in, qmin2)
-    d_pq = jnp.maximum(pmin2[:, 0][rank_p], 0.0)  # original order, (bp,)
+@functools.partial(jax.jit, static_argnames=())
+def _means(pmin, qmin, rank_p, rank_q, p_valid, q_valid):
+    """Gather the minima back to the original point order and reduce with the
+    same masked-mean expression (and shapes) as
+    chamfer.chamfer_distance_masked_pallas."""
+    d_pq = jnp.maximum(pmin[:, 0][rank_p], 0.0)  # original order, (bp,)
     d_qp = jnp.maximum(qmin.reshape(-1)[rank_q], 0.0)  # (bq,)
     n_p = jnp.maximum(jnp.sum(p_valid), 1)
     n_q = jnp.maximum(jnp.sum(q_valid), 1)
@@ -237,8 +259,7 @@ def _final_pass(pt, qt, p, qT, pv, qv, pmin_in, qmin_in, rank_p, rank_q,
 # survivor enumeration.  Each point's true-NN tile always survives every prune
 # (its lower bound <= the point's true min <= the tile bound), so the final
 # minima are exact regardless of the round schedule — the schedule only controls
-# how close the bounds get to ideal before paying for the full survivor sweep
-# (measured: ideal bounds leave ~1% of dense pairs at 1.2M points).
+# how close the bounds get to ideal before paying for the full survivor sweep.
 _ROUNDS = (4, 16)
 
 # Conservative pruning slack, RELATIVE: the kernel's difference-form f32
@@ -248,82 +269,63 @@ _ROUNDS = (4, 16)
 _MARGIN = 1.0 + 1e-5
 
 
-# Pair-list entries per kernel launch: the (pt, qt) lists ride the scalar-
-# prefetch path, which lives in SMEM — 1 MiB total on v5e, and Mosaic rejects
-# programs whose prefetched operands exceed it (measured: a 262144-pair list =
-# 2 x 1 MiB operands -> "Ran out of memory in memory space smem").  49152 keeps
-# each launch's two padded s32 lists at <= 2 x 256 KiB after half-octave
-# bucketing + per-chunk missing-tile filler.  Longer lists fold chunk-by-chunk
-# through the carried minima — the fold is order-invariant, so values are
-# unchanged (pinned by tests/test_chamfer_pruned.py::test_pruned_chunked_*).
-_MAX_PAIRS_PER_LAUNCH = 49152
+def _rows_from_pairs(pairs: np.ndarray):
+    """Group a (k, 2) pair list (sorted by p-tile) into kernel rows: one p-tile
+    x up to _K0 q-tiles each.  Row padding repeats the chunk's first q-tile —
+    a re-fold, which is a no-op on the minima."""
+    if len(pairs) == 0:
+        return np.zeros((0,), np.int32), np.zeros((0, _K0), np.int32)
+    out_pid, out_q = [], []
+    bounds = np.flatnonzero(np.diff(pairs[:, 0])) + 1
+    for grp in np.split(pairs, bounds):
+        qs = grp[:, 1]
+        for s in range(0, len(qs), _K0):
+            chunk = qs[s:s + _K0]
+            row = np.full(_K0, chunk[0], np.int32)
+            row[: len(chunk)] = chunk
+            out_pid.append(grp[0, 0])
+            out_q.append(row)
+    return (np.asarray(out_pid, dtype=np.int32),
+            np.asarray(np.stack(out_q), dtype=np.int32))
 
 
-def _bucket_pairs(n: int) -> int:
-    """Half-octave bucket for the pair-list length (bounds recompiles across
-    samples; padding repeats the last pair, a harmless re-fold)."""
-    return _bucket(max(n, 1))
+def _row_bucket(n: int) -> int:
+    """Half-octave bucket for the row count (8·{1, 1.5}·2^k) — bounds distinct
+    compiled grid shapes across samples to ~2 per octave."""
+    b = 8
+    while True:
+        if n <= b:
+            return b
+        if n <= b + b // 2:
+            return b + b // 2
+        b *= 2
 
 
-def _pad_pairs(pairs: np.ndarray, L: int):
-    """(k, 2) int pair list -> two (L,) int32 scalar-prefetch arrays."""
-    out = np.empty((L, 2), np.int32)
-    out[: len(pairs)] = pairs
-    out[len(pairs):] = pairs[-1]
-    return np.ascontiguousarray(out[:, 0]), np.ascontiguousarray(out[:, 1])
+def _pad_rows(pid: np.ndarray, qidx: np.ndarray):
+    """Pad the row tables to a half-octave bucket (bounds recompiles across
+    samples) by repeating the last row — a harmless re-fold."""
+    b = _row_bucket(max(len(pid), 1))
+    out_pid = np.empty((b,), np.int32)
+    out_q = np.empty((b, _K0), np.int32)
+    out_pid[: len(pid)] = pid
+    out_q[: len(pid)] = qidx
+    out_pid[len(pid):] = pid[-1] if len(pid) else 0
+    out_q[len(pid):] = qidx[-1] if len(pid) else 0
+    return out_pid, np.ascontiguousarray(out_q.reshape(-1))  # flat: SMEM 1-D
 
 
-def _nearest_pairs(lb: np.ndarray, k_lo: int, k_hi: int) -> np.ndarray:
-    """Pairs (i, j) where j is among row i's (k_lo, k_hi]-nearest columns by lb,
-    or i among column j's — both directions so every tile's bounds tighten."""
-    npt_v, nqt_v = lb.shape
-    out = []
-    if nqt_v > k_lo:
-        hi = min(k_hi, nqt_v)
-        jn = np.argpartition(lb, hi - 1, axis=1)[:, :hi]
-        if k_lo:
-            # drop the k_lo nearest (previous rounds): partial-sort the hi block
-            order = np.argsort(np.take_along_axis(lb, jn, axis=1), axis=1)
-            jn = np.take_along_axis(jn, order, axis=1)[:, k_lo:]
-        out.append(np.stack([
-            np.repeat(np.arange(npt_v), jn.shape[1]), jn.reshape(-1)
-        ], axis=1))
-    if npt_v > k_lo:
-        hi = min(k_hi, npt_v)
-        im = np.argpartition(lb, hi - 1, axis=0)[:hi, :]
-        if k_lo:
-            order = np.argsort(np.take_along_axis(lb, im, axis=0), axis=0)
-            im = np.take_along_axis(im, order, axis=0)[k_lo:, :]
-        out.append(np.stack([
-            im.reshape(-1), np.tile(np.arange(nqt_v), im.shape[0])
-        ], axis=1))
-    if not out:
-        return np.empty((0, 2), np.int64)
-    return np.unique(np.concatenate(out), axis=0)  # sorted by (pt, qt)
-
-
-def _chunk_pairs(pairs: np.ndarray, npt_v: int, nearest: np.ndarray):
-    """Split a sorted-by-p-tile pair list into SMEM-sized launches, each with
-    the every-valid-p-tile cover restored (``_fill_missing`` — an unvisited
-    tile's row-min output block would come back undefined)."""
-    chunks = [pairs[i:i + _MAX_PAIRS_PER_LAUNCH]
-              for i in range(0, max(len(pairs), 1), _MAX_PAIRS_PER_LAUNCH)]
-    return [_fill_missing(c, npt_v, nearest) for c in chunks]
-
-
-def _fill_missing(pairs: np.ndarray, npt_v: int, nearest: np.ndarray) -> np.ndarray:
-    """Every valid p-tile must appear in every kernel launch: the p row-min is a
-    per-block OUTPUT, so an unvisited tile's rows come back undefined and would
-    poison the carried minima / upper bounds.  Missing tiles re-fold their
-    nearest pair — a no-op on the minima."""
-    present = np.bincount(pairs[:, 0], minlength=npt_v) > 0 if len(pairs) else \
-        np.zeros(npt_v, bool)
-    missing = np.nonzero(~present)[0]
-    if len(missing) == 0:
-        return pairs
-    extra = np.stack([missing, nearest[missing]], axis=1)
-    merged = np.concatenate([pairs, extra]) if len(pairs) else extra
-    return merged[np.lexsort((merged[:, 1], merged[:, 0]))]
+def _fold_pair_list(pairs, ps, qsT, pv, qv, pmin, qmin, interpret):
+    """Fold a pair list through SMEM-sized row-table launches; returns the
+    updated (pmin, qmin, ubp, ubq) and the number of folded rows."""
+    pid, qidx = _rows_from_pairs(pairs)
+    n_rows = max(len(pid), 1)
+    ubp = ubq = None
+    for s in range(0, n_rows, _MAX_ROWS_PER_LAUNCH):
+        pid_c, qidx_c = _pad_rows(pid[s:s + _MAX_ROWS_PER_LAUNCH],
+                                  qidx[s:s + _MAX_ROWS_PER_LAUNCH])
+        pmin, qmin, ubp, ubq = _fold_rows(pid_c, qidx_c, ps, qsT, pv, qv,
+                                          pmin, qmin, _TP, _TQ, _K0, interpret)
+    return pmin, qmin, ubp, ubq, len(pid)
 
 
 def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = False,
@@ -364,7 +366,6 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     # -------- tightening rounds: nearest tiles first, bounds re-fetched
     pmin = jnp.full((bp, 1), jnp.inf, jnp.float32)
     qmin = jnp.full((bq // _TQ, _TQ), jnp.inf, jnp.float32)
-    nearest = np.argmin(lb, axis=1)
     ubp = ubq = None
     k_lo = 0
     round_sizes = []
@@ -377,15 +378,9 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
             sel &= ~done[pairs[:, 0], pairs[:, 1]]
             pairs = pairs[sel]
         done[pairs[:, 0], pairs[:, 1]] = True
-        n_folded = 0
-        for chunk in _chunk_pairs(pairs, npt_v, nearest):
-            n_folded += len(chunk)
-            ptx, qtx = _pad_pairs(chunk, _bucket_pairs(len(chunk)))
-            pmin, qmin, ubp_d, ubq_d = _round_pass(ptx, qtx, ps, qsT, pv, qv,
-                                                   pmin, qmin, _TP, _TQ, interpret)
-        round_sizes.append(n_folded)
-        # bounds from the LAST launch are global: its _fill_missing cover means
-        # pmin2/qmin carried every tile's running min
+        round_sizes.append(len(pairs))
+        pmin, qmin, ubp_d, ubq_d = _fold_pair_list(pairs, ps, qsT, pv, qv,
+                                                   pmin, qmin, interpret)[:4]
         ubp = np.asarray(ubp_d[:npt_v], np.float64)
         ubq = np.asarray(ubq_d[:nqt_v], np.float64)
         k_lo = k_hi
@@ -394,32 +389,22 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     # covered point's current minimum (in either direction)
     keep = (lb < ubp[:, None] * _MARGIN) | (lb < ubq[None, :] * _MARGIN)
     keep &= ~done
-    # every valid p-tile must appear once more so its output block is written
-    # (re-folding an already-done pair is a no-op on the minima)
-    empty = ~keep.any(axis=1)
-    keep[empty, nearest[empty]] = True
     pairs = np.argwhere(keep).astype(np.int32)  # row-major: sorted by p-tile
     t_rounds = time.perf_counter() - t0 - t_prep
     if stats is not None:
         total = npt_v * nqt_v
         stats.update(n=n, m=m, round_pairs=round_sizes, final_pairs=len(pairs),
-                     dense_pairs=total,
+                     dense_pairs=total, keep=keep,
                      work_frac=(sum(round_sizes) + len(pairs)) * _TP * _TQ / (n * m))
+
+    pmin, qmin = _fold_pair_list(pairs, ps, qsT, pv, qv, pmin, qmin, interpret)[:2]
 
     rank_p = np.zeros(bp, np.int32)
     rank_p[porder] = np.arange(n, dtype=np.int32)  # original i -> sorted row
     rank_q = np.zeros(bq, np.int32)
     rank_q[qorder] = np.arange(m, dtype=np.int32)
-    chunks = _chunk_pairs(pairs, npt_v, nearest)
-    for chunk in chunks[:-1]:  # fold all but the last launch into the carry
-        ptx, qtx = _pad_pairs(chunk, _bucket_pairs(len(chunk)))
-        pmin, qmin, _, _ = _round_pass(ptx, qtx, ps, qsT, pv, qv,
-                                       pmin, qmin, _TP, _TQ, interpret)
-    ptx, qtx = _pad_pairs(chunks[-1], _bucket_pairs(len(chunks[-1])))
-    out, d_pq, d_qp = _final_pass(ptx, qtx, ps, qsT, pv, qv, pmin, qmin,
-                                  rank_p, rank_q,
-                                  np.arange(bp) < n, np.arange(bq) < m,
-                                  _TP, _TQ, interpret)
+    out, d_pq, d_qp = _means(pmin, qmin, rank_p, rank_q,
+                             np.arange(bp) < n, np.arange(bq) < m)
     val = float(out)
     if stats is not None:
         stats["d_pq"] = np.asarray(d_pq)[:n]
@@ -428,3 +413,32 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
         stats["t_rounds"] = t_rounds
         stats["t_final"] = time.perf_counter() - t0 - t_prep - t_rounds
     return val
+
+
+def _nearest_pairs(lb: np.ndarray, k_lo: int, k_hi: int) -> np.ndarray:
+    """Pairs (i, j) where j is among row i's (k_lo, k_hi]-nearest columns by lb,
+    or i among column j's — both directions so every tile's bounds tighten."""
+    npt_v, nqt_v = lb.shape
+    out = []
+    if nqt_v > k_lo:
+        hi = min(k_hi, nqt_v)
+        jn = np.argpartition(lb, hi - 1, axis=1)[:, :hi]
+        if k_lo:
+            # drop the k_lo nearest (previous rounds): partial-sort the hi block
+            order = np.argsort(np.take_along_axis(lb, jn, axis=1), axis=1)
+            jn = np.take_along_axis(jn, order, axis=1)[:, k_lo:]
+        out.append(np.stack([
+            np.repeat(np.arange(npt_v), jn.shape[1]), jn.reshape(-1)
+        ], axis=1))
+    if npt_v > k_lo:
+        hi = min(k_hi, npt_v)
+        im = np.argpartition(lb, hi - 1, axis=0)[:hi, :]
+        if k_lo:
+            order = np.argsort(np.take_along_axis(lb, im, axis=0), axis=0)
+            im = np.take_along_axis(im, order, axis=0)[k_lo:, :]
+        out.append(np.stack([
+            im.reshape(-1), np.tile(np.arange(nqt_v), im.shape[0])
+        ], axis=1))
+    if not out:
+        return np.empty((0, 2), np.int64)
+    return np.unique(np.concatenate(out), axis=0)  # sorted by (pt, qt)

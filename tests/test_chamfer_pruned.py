@@ -107,7 +107,7 @@ def test_pruned_chunked_launches_bit_equal(name, monkeypatch):
     one = {}
     chamfer_one = chp.chamfer_distance_pruned(p, q, interpret=True, stats=one)
 
-    monkeypatch.setattr(chp, "_MAX_PAIRS_PER_LAUNCH", 64)  # force multi-launch
+    monkeypatch.setattr(chp, "_MAX_ROWS_PER_LAUNCH", 4)  # force multi-launch
     many = {}
     chamfer_many = chp.chamfer_distance_pruned(p, q, interpret=True, stats=many)
 
