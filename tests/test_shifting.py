@@ -89,3 +89,47 @@ def test_nest_win_idcs():
     assert set(g16[:2, :2].reshape(-1).tolist()) == {4, 5, 6, 7}
     assert set(g16[2:, 2:].reshape(-1).tolist()) == {8, 9, 10, 11}
     assert set(g16[2:, :2].reshape(-1).tolist()) == {12, 13, 14, 15}
+
+
+def test_permute_gather_group_size_and_chunked_equality():
+    """The shift-gather table chunking (ops/permute.py): group sizes stay under
+    the measured ~76 MiB XLA gather cliff at real model shapes, and the chunked
+    gather is bit-equal to the single gather (r4 batch-scaling fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from heal_swin_tpu.ops import permute as pm
+
+    spb_s0 = 131072 * 96 * 2  # nside-256 stage-0 bf16 sample: 24 MiB
+    assert pm._group_size(2, spb_s0) == 2  # 48 MiB table: single fast gather
+    assert pm._group_size(4, spb_s0) == 2  # 96 MiB crosses the cliff -> halve
+    assert pm._group_size(8, spb_s0) == 2
+    assert pm._group_size(6, spb_s0) == 3  # 72 MiB is still on the fast side
+    spb_s1 = 32768 * 192 * 2  # stage-1 sample: 12 MiB
+    assert pm._group_size(8, spb_s1) == 4  # crosses only at batch 8
+    assert pm._group_size(1, 200 * 2**20) == 1  # single over-cliff sample: as-is
+
+    # chunked path == reference permutation, values AND vjp
+    rng = np.random.default_rng(0)
+    B, N, C = 4, 96, 8
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    perm = rng.permutation(N).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    ref = np.asarray(x)[:, perm, :]
+    try:
+        pm._TABLE_BYTES_FAST = N * C * 4  # force 1-sample chunks
+        out = pm.permute_tokens(x, jnp.asarray(perm), jnp.asarray(inv))
+        g = jax.grad(
+            lambda a: jnp.sum(
+                jnp.cos(pm.permute_tokens(a, jnp.asarray(perm), jnp.asarray(inv)))
+            )
+        )(x)
+    finally:
+        pm._TABLE_BYTES_FAST = 76 * 2**20
+    assert np.array_equal(np.asarray(out), ref)
+    g_ref = jax.grad(
+        lambda a: jnp.sum(
+            jnp.cos(pm.permute_tokens(a, jnp.asarray(perm), jnp.asarray(inv)))
+        )
+    )(x)
+    assert np.array_equal(np.asarray(g), np.asarray(g_ref))
