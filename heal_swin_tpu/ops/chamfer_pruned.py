@@ -238,7 +238,7 @@ def _fold_rows(pid, qidx, p, qT, pv, qv, pmin_in, qmin_in, tp: int, tq: int,
     return pmin, qmin, ubp, ubq
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _means(pmin, qmin, rank_p, rank_q, p_valid, q_valid):
     """Gather the minima back to the original point order and reduce with the
     same masked-mean expression (and shapes) as
