@@ -37,12 +37,16 @@ def _flat_perm(perm, B, N):
 
 
 def _group_size(B: int, sample_bytes: int) -> int:
-    """Largest divisor of B whose group table stays under the gather cliff
-    (1 if even a single sample exceeds it — nothing to chunk then)."""
-    for m in range(B, 0, -1):
-        if B % m == 0 and m * sample_bytes <= _TABLE_BYTES_FAST:
-            return m
-    return 1
+    """Balanced group size (in whole samples) whose group table stays under the
+    gather cliff: the fewest ceil-sized groups that fit, then re-balanced so
+    e.g. B=5 with room for 3 splits 3+2 instead of five singles (ragged last
+    group allowed — the permutation is per-sample, so values are identical).
+    Returns 1 if even a single sample exceeds the cliff (nothing to chunk)."""
+    m_max = min(B, _TABLE_BYTES_FAST // max(sample_bytes, 1))
+    if m_max <= 1:
+        return 1
+    n_groups = -(-B // m_max)
+    return -(-B // n_groups)
 
 
 def _permute_gather(x, perm):
@@ -50,12 +54,14 @@ def _permute_gather(x, perm):
     B, N, C = x.shape
     flat = x.reshape(B * N, C)
     m = _group_size(B, N * C * x.dtype.itemsize)
-    if m == B or m * N * C * x.dtype.itemsize > _TABLE_BYTES_FAST:
+    if m >= B or m * N * C * x.dtype.itemsize > _TABLE_BYTES_FAST:
         rows = _flat_perm(perm, B, N)
         return jnp.take(flat, rows, axis=0).reshape(B, N, C)
-    rows = _flat_perm(perm, m, N)
-    L = m * N
-    outs = [jnp.take(flat[i * L:(i + 1) * L], rows, axis=0) for i in range(B // m)]
+    outs = []
+    for s in range(0, B, m):
+        g = min(m, B - s)
+        rows = _flat_perm(perm, g, N)
+        outs.append(jnp.take(flat[s * N:(s + g) * N], rows, axis=0))
     return jnp.concatenate(outs, axis=0).reshape(B, N, C)
 
 

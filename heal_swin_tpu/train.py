@@ -198,22 +198,26 @@ def train_model(
 
         if run is not None:
             run.set_status("FINISHED")
-        if trainer.n_processes > 1:
-            # Non-zero ranks have no post-fit work (checkpoints/eval/tracking are
-            # rank-0-only) and would otherwise reach jax.distributed's atexit
-            # shutdown barrier minutes before rank 0 on a loaded host — the
-            # barrier then times out and the coordination service kills every
-            # task.  Hold all ranks here until rank 0's writes are done so the
-            # processes exit together.
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("train_model_done")
         return (run.run_id if run is not None else None), result
     except BaseException:
         if run is not None:
             run.set_status("KILLED")
         traceback.print_exc()
         raise
+    finally:
+        if trainer.n_processes > 1:
+            # Non-zero ranks have no post-fit work (checkpoints/eval/tracking are
+            # rank-0-only) and would otherwise reach jax.distributed's atexit
+            # shutdown barrier minutes before rank 0 on a loaded host — the
+            # barrier then times out and the coordination service kills every
+            # task.  Hold all ranks here until rank 0's writes are done so the
+            # processes exit together.  In a finally so ranks also converge when
+            # one of them raises (the coordination service kills the group if a
+            # peer died before reaching the barrier — same outcome as before,
+            # but the common both-alive failure path now exits cleanly).
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("train_model_done")
 
 
 def main():

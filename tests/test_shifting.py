@@ -102,22 +102,24 @@ def test_permute_gather_group_size_and_chunked_equality():
 
     spb_s0 = 131072 * 96 * 2  # nside-256 stage-0 bf16 sample: 24 MiB
     assert pm._group_size(2, spb_s0) == 2  # 48 MiB table: single fast gather
-    assert pm._group_size(4, spb_s0) == 2  # 96 MiB crosses the cliff -> halve
-    assert pm._group_size(8, spb_s0) == 2
+    assert pm._group_size(4, spb_s0) == 2  # 96 MiB crosses the cliff -> 2+2
+    assert pm._group_size(8, spb_s0) == 3  # 3 groups of 3+3+2 (72/72/48 MiB)
     assert pm._group_size(6, spb_s0) == 3  # 72 MiB is still on the fast side
+    assert pm._group_size(5, spb_s0) == 3  # ragged 3+2, not five singles
     spb_s1 = 32768 * 192 * 2  # stage-1 sample: 12 MiB
     assert pm._group_size(8, spb_s1) == 4  # crosses only at batch 8
     assert pm._group_size(1, 200 * 2**20) == 1  # single over-cliff sample: as-is
 
-    # chunked path == reference permutation, values AND vjp
+    # chunked path == reference permutation, values AND vjp (ragged 3+2 groups)
     rng = np.random.default_rng(0)
-    B, N, C = 4, 96, 8
+    B, N, C = 5, 96, 8
     x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
     perm = rng.permutation(N).astype(np.int32)
     inv = np.argsort(perm).astype(np.int32)
     ref = np.asarray(x)[:, perm, :]
+    saved_cliff = pm._TABLE_BYTES_FAST
     try:
-        pm._TABLE_BYTES_FAST = N * C * 4  # force 1-sample chunks
+        pm._TABLE_BYTES_FAST = 3 * N * C * 4  # force 3+2 ragged grouping
         out = pm.permute_tokens(x, jnp.asarray(perm), jnp.asarray(inv))
         g = jax.grad(
             lambda a: jnp.sum(
@@ -125,7 +127,7 @@ def test_permute_gather_group_size_and_chunked_equality():
             )
         )(x)
     finally:
-        pm._TABLE_BYTES_FAST = 76 * 2**20
+        pm._TABLE_BYTES_FAST = saved_cliff
     assert np.array_equal(np.asarray(out), ref)
     g_ref = jax.grad(
         lambda a: jnp.sum(
