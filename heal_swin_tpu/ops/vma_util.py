@@ -22,11 +22,12 @@ def pcast_like(a, ref):
     vma typing, which requires e.g. dot_general operands to agree.  On compiled
     TPU pallas the kernel body is opaque (mixed-vma inputs are fine) and the cast
     is type-only; outside shard_map this is a no-op."""
-    extra = tuple(
+    extra = sorted(
         ax for ax in getattr(jax.typeof(ref), "vma", frozenset())
         if ax not in getattr(jax.typeof(a), "vma", frozenset())
-    )
-    return jax.lax.pcast(a, extra, to="varying") if extra else a
+    )  # sorted: frozenset order is per-process random (hash randomization);
+    # pcast emits no collective, but deterministic HLO across processes anyway
+    return jax.lax.pcast(a, tuple(extra), to="varying") if extra else a
 
 
 def with_vma(structs, ref):

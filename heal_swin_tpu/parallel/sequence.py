@@ -60,13 +60,36 @@ def match_vma(ct, like):
     cotangent — the bwd rule itself must insert the cross-device reduction (for
     ordinary ops JAX's vma-typed transpose does this automatically; custom rules
     are opaque).  No-op outside shard_map (vma sets are empty) and for matching
-    types, so every custom VJP in the tree calls this unconditionally."""
-    extra = tuple(
-        a
-        for a in getattr(jax.typeof(ct), "vma", frozenset())
-        if a not in getattr(jax.typeof(like), "vma", frozenset())
-    )
-    return jax.lax.psum(ct, extra) if extra else ct
+    types, so every custom VJP in the tree calls this unconditionally.
+
+    The axis tuple is CANONICALIZED to mesh axis-name order (fallback: sorted).
+    ``vma`` is a frozenset, and a multi-axis ``psum``'s replica-group flattening
+    depends on the axis ORDER (("data","seq") -> {{0..7}} ascending vs
+    ("seq","data") -> {{0,2,4,6,1,3,5,7}}); frozenset iteration order is
+    string-hash dependent, i.e. differs across PROCESSES under hash
+    randomization, so an uncanonicalized tuple makes coordinator-connected
+    processes compile different (never-matching) gloo/NCCL rendezvous keys for
+    the same grad psum — the multi-process SP deadlock fixed in r5."""
+    ct_vma = getattr(jax.typeof(ct), "vma", frozenset())
+    like_vma = getattr(jax.typeof(like), "vma", frozenset())
+    extra = ct_vma - like_vma
+    if not extra:
+        return ct
+    return jax.lax.psum(ct, _canonical_axis_order(extra))
+
+
+def _canonical_axis_order(axes) -> tuple:
+    """Deterministic (process-independent) ordering for a set of mesh axis
+    names: the surrounding abstract mesh's axis_name order when available,
+    alphabetical otherwise."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        names = tuple(getattr(mesh, "axis_names", ()) or ())
+        if all(a in names for a in axes):
+            return tuple(a for a in names if a in axes)
+    except Exception:
+        pass
+    return tuple(sorted(axes))
 
 
 def psum_tree(tree, axis_names):

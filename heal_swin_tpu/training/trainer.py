@@ -137,27 +137,60 @@ class Trainer:
         timeout — but the first such collective sits inside the multi-minute
         train-step compile, and processes compiling at different speeds (a
         loaded single-core host) blow the window: 'Gloo context initialization
-        failed: GetKeyValue() timed out'.  Running one trivial psum per mesh
-        axis (and over the full mesh) right after distributed init creates all
-        contexts when the inter-process skew is milliseconds; the real steps
-        then reuse them.  No-op cost on TPU pods (ICI needs no rendezvous), so
-        it runs for any multi-process mesh."""
+        failed: GetKeyValue() timed out'.  Running every collective clique the
+        run will use right after distributed init creates all contexts when the
+        inter-process skew is milliseconds; the real steps then reuse them
+        (contexts are cached process-wide per clique key).  No-op cost on TPU
+        pods (ICI needs no rendezvous), so it runs for any multi-process mesh.
+
+        Clique keys are (flattened replica groups, local participant count), so
+        the warm set must cover every GROUP FLATTENING the run produces, not
+        just every participant set: a multi-axis psum's groups flatten in axis-
+        tuple order (("data","seq") != ("seq","data") — measured distinct gloo
+        keys), hence both orders below; all_gather/all_to_all over an axis share
+        the single-axis psum's clique.  The final sync_global_devices warms the
+        one-device-per-process clique used by multihost_utils.process_allgather
+        and the exit barrier (train.py) — the r5 red-test failure key."""
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(self.mesh.axis_names)
-        groups = [axes] if len(axes) > 1 else []
-        groups += [(a,) for a in axes if self.mesh.shape[a] > 1]
+        multi = [a for a in axes if self.mesh.shape[a] > 1]
+        groups = []
+        if len(axes) > 1:
+            groups += [axes, tuple(reversed(axes)), tuple(sorted(axes))]
+        groups += [(a,) for a in multi]
+        # dedupe, preserving order
+        groups = list(dict.fromkeys(groups))
 
         def warm():
-            v = jnp.ones((1, 1), jnp.float32)
-            terms = [jax.lax.psum(v, g) for g in groups]
-            return sum(terms[1:], terms[0]) if terms else v
+            # operand varies across every device (axis_index products): XLA
+            # must keep each psum as a real all-reduce (a provably replica-
+            # invariant operand could legally fold away)
+            v = jnp.float32(1.0)
+            for a in axes:
+                v = v * (jnp.float32(jax.lax.axis_index(a)) + 1.0)
+            v = v.reshape(1, 1)
+            out = jnp.zeros((1, 1), jnp.float32)
+            for g in groups:
+                out = out + jax.lax.psum(v, g)
+            for a in multi:
+                # one instance of each collective KIND the SP step uses, in
+                # case a backend ever keys contexts by kind as well
+                ag = jax.lax.all_gather(v, a, axis=0, tiled=True)  # (n, 1)
+                out = out + jnp.sum(ag)
+                a2a = jax.lax.all_to_all(ag[None], a, split_axis=1, concat_axis=0)
+                out = out + jnp.sum(a2a)
+            return out
 
-        # check_vma off: the operand is shard-constant (that is the point — a
-        # rendezvous, not a computation), which strict vma typing rejects
+        # check_vma off: mixing axis-subset reductions of the same operand is a
+        # rendezvous exercise, not a computation strict vma typing would accept
         f = jax.jit(jax.shard_map(warm, mesh=self.mesh, in_specs=(), out_specs=P(),
                                   check_vma=False))
         np.asarray(f())  # fetch = the synchronization point
+
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("warm_collective_contexts")
 
     # ------------------------------------------------------------------ util
     def _log(self, metrics: Dict[str, float], step: Optional[int] = None):
