@@ -22,7 +22,7 @@ Pipeline (host numpy is cheap, device does all distance math):
    squared distance between tile bounding boxes — a true lower bound on every
    pair distance between the tiles.
 3. **Tightening rounds** (device): each tile folds its nearest boxes
-   (``_ROUNDS`` nearest, cumulative) through the row kernel; after each round
+   (``_ROUNDS`` nearest, cumulative) through the fold kernel; after each round
    the per-tile upper bounds ``ub = max over the tile's valid points of its
    running min`` are re-fetched, and the next round's candidates are pruned
    against them.  Every point's true-NN tile survives every prune (its lower
@@ -33,40 +33,52 @@ Pipeline (host numpy is cheap, device does all distance math):
    ulp of relative rounding in both the kernel's difference-form distance and
    the f32 box bound.  A pruned pair's computed distance provably exceeds the
    running min of every point it covers, so folding it in would be a no-op.
-5. **Fold survivors** (device): the row kernel (below) computes each surviving
-   (TP, TQ) distance block once, folding it into a per-row p-side min and the
-   resident q-side col-min; a scatter-min merges row outputs into the global
-   running minima.
+5. **Fold survivors** (device): PACK the surviving tiles into dense operands
+   with fast XLA row gathers, then run a fold kernel whose block index maps
+   are all STATIC (below); scatter-min merges the streamed row/col minima into
+   the global running minima.
 6. **Unsort + means**: minima are gathered back to the original point order and
    reduced with the same masked-mean expression (same shapes) as the brute
    path, so the scalar matches bit-for-bit.
 
-Kernel shape (2-D row grid).  The first cut walked a flat (p-tile, q-tile)
-pair list with a 1-D grid whose p-side blocks AND output block were indexed by
-``pt[i]`` — data-dependent block revisitation that Mosaic must treat
-conservatively, measured at ~40-60 us of fixed cost per grid step (~100x the
-~0.5 us of VPU content; the pipeline merely broke even with brute force).  The
-pair list is now grouped into ROWS of one p-tile x ``_K0`` q-tiles and the
-grid is (rows, _K0): the p block and the row's output minima have indices that
-are constant along the inner axis and sequential along the outer axis, so only
-the tiny q-side blocks move per step.  Row outputs merge into the global
-minima with a jnp scatter-min (exact — min is order-free), which also removes
-the old every-tile-must-be-visited constraint.
+Kernel shape — packed operands, static index maps.  Two earlier cuts indexed
+the kernel's operand blocks through scalar-prefetch tables (``pid[i]``,
+``qidx[i*k0+k]``): Mosaic charges a measured 40-110 us of fixed cost per grid
+step for DYNAMIC block index maps vs 4.6 us for static ones
+(docs/PERFORMANCE.md, r4) — ~100x the step's ~0.5 us of VPU content, which
+capped the pruned pipeline at 2.2-2.4x brute force despite ~97% pair pruning.
+The r5 scheme removes every dynamic map: the surviving pair list is grouped
+into rows of one p-tile x ``_K0`` q-tiles (as before), but the row's operands
+are first GATHERED into dense packed arrays — (R*TP, 3) p-points, (R*K0*3, TQ)
+tile-transposed q-points, validity tiles, and the seeded running row minima —
+by XLA row gathers from small (~15 MiB at 1.24M points, far under the ~76 MiB
+gather cliff, see ops/permute.py) tile tables.  The kernel's grid is
+(rows, _K0) and every BlockSpec index map is affine in (i, k): sequential
+static block walks at brute-kernel step cost.  Row p-minima and per-(row, k)
+q col-minima stream out and merge into the global minima with jnp scatter-mins
+(exact — min is order-free).
 
 The kernel math must stay in lock-step with ``chamfer._min_both_kernel`` —
 any change to one must be mirrored in the other or bit-parity breaks.
+
+For host/device overlap at the writer level, the host-side preprocessing
+(Morton sort + tile boxes, ~0.7-0.8 s/pair at paper scale) is split out as
+``chamfer_prepare``; ``chamfer_distance_pruned(..., prepared=...)`` then runs
+only prune decisions + device folds, so a caller can prepare pair k+1 in a
+worker thread while pair k folds on the device
+(evaluation/hp_depth_pred_writers.py chamfer writer).
 """
 
 from __future__ import annotations
 
 import functools
 import time
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from heal_swin_tpu.ops.chamfer import _bucket
 
@@ -76,21 +88,19 @@ from heal_swin_tpu.ops.chamfer import _bucket
 _TP = 1024  # p-tile rows (sublane multiple)
 _TQ = 1024  # q-tile lanes (128 multiple)
 
-# q-tiles per kernel row: amortizes the row's p-side DMAs over _K0 inner steps
-# and keeps the scalar-prefetch row tables small.
+# q-tiles per kernel row: amortizes the row's p-side blocks over _K0 inner
+# steps and bounds the packed-operand duplication of p-side data.
 _K0 = 16
 
-# Rows per kernel launch: the (rows,) p-tile ids + flat (rows * _K0,) q-tile
-# ids ride the scalar-prefetch path (SMEM, 1 MiB on v5e — a single over-budget
-# operand is a Mosaic compile error; 2-D SMEM operands lane-pad their minor
-# dim to 128, so the q table must stay 1-D).  8192 rows = (1 + 16) * 4 B *
-# 8192 = 544 KiB; longer lists fold launch-by-launch through the carried
-# minima (order-invariant, bit-equal — pinned by
+# Rows per kernel launch: bounds the packed-operand HBM footprint (a row packs
+# _K0 * (3 + 1) * _TQ f32 = 256 KiB of q-side data; 4096 rows ~ 1.1 GiB
+# transient).  Longer lists fold launch-by-launch through the carried minima
+# (order-invariant, bit-equal — pinned by
 # tests/test_chamfer_pruned.py::test_pruned_chunked_launches_bit_equal).
-_MAX_ROWS_PER_LAUNCH = 8192
+_MAX_ROWS_PER_LAUNCH = 4096
 
-# Above this the refine kernel's resident (M/_TQ, _TQ) col-min block would push
-# scoped VMEM; paper full_res clouds (~1.6M bucket) are well inside.
+# Above this the dense lower-bound matrix and tile tables outgrow what the
+# host prep amortizes; paper full_res clouds (~1.6M bucket) are well inside.
 _MAX_POINTS = 4 * 1024 * 1024
 
 
@@ -146,25 +156,20 @@ def _pad_tiles(pts: np.ndarray, total: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ pallas kernel
-def _row_min_kernel(pid_ref, qidx_ref, p_ref, qT_ref, pv_ref, qv_ref, pmin_in_ref,
-                    pmin_ref, qmin_ref):
-    """One (row, k) step: the (TP, TQ) squared-distance block between the row's
-    p-tile and its k-th q-tile, folded into the row's p-side min (output block
-    (i, 0) — resident across the row's _K0 inner steps, seeded from the global
-    running min at k == 0) and the q col-min (whole (nqt, TQ) array resident as
-    a constant-index block, dynamic-row updated — same scheme as the brute
-    kernel's col-min).  Distance math is bit-identical to
-    chamfer._min_both_kernel."""
-    i = pl.program_id(0)
+def _packed_row_min_kernel(p_ref, qT_ref, pv_ref, qv_ref, seed_ref,
+                           pmin_ref, qcol_ref):
+    """One (row, k) step over PACKED operands: the (TP, TQ) squared-distance
+    block between the row's p-tile and its k-th q-tile, folded into the row's
+    p-side min (resident across the row's _K0 inner steps, seeded from the
+    global running min at k == 0) and this (row, k)'s streamed q col-min.
+    Every BlockSpec index map is affine in the grid indices — no
+    scalar-prefetch, no dynamic block revisitation.  Distance math is
+    bit-identical to chamfer._min_both_kernel."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _seed_row():
-        pmin_ref[...] = pmin_in_ref[...]
-
-    @pl.when(jnp.logical_and(i == 0, k == 0))
-    def _init_qmin():
-        qmin_ref[...] = jnp.full_like(qmin_ref, jnp.inf)
+        pmin_ref[...] = seed_ref[...]
 
     p = p_ref[...]  # (TP, 3) f32
     q = qT_ref[...]  # (3, TQ) f32
@@ -179,63 +184,82 @@ def _row_min_kernel(pid_ref, qidx_ref, p_ref, qT_ref, pv_ref, qv_ref, pmin_in_re
     m = jnp.min(jnp.where(qv > 0.0, d, jnp.inf), axis=1, keepdims=True)
     pmin_ref[...] = jnp.minimum(pmin_ref[...], m)
     c = jnp.min(jnp.where(pv > 0.0, d, jnp.inf), axis=0)
-    # qidx is FLAT (R * K0,): a (R, K0) SMEM operand would lane-pad to 128 cols
-    j = qidx_ref[i * pl.num_programs(1) + k]
-    qmin_ref[j, :] = jnp.minimum(qmin_ref[j, :], c)
+    qcol_ref[...] = c.reshape(1, -1)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_row_min(N: int, M: int, R: int, tp: int, tq: int, k0: int, interpret: bool):
-    nqt = M // tq
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(R, k0),
-        in_specs=[
-            pl.BlockSpec((tp, 3), lambda i, k, pid, qidx: (pid[i], 0)),
-            pl.BlockSpec((3, tq), lambda i, k, pid, qidx: (0, qidx[i * k0 + k])),
-            pl.BlockSpec((tp, 1), lambda i, k, pid, qidx: (pid[i], 0)),
-            pl.BlockSpec((1, tq), lambda i, k, pid, qidx: (0, qidx[i * k0 + k])),
-            pl.BlockSpec((tp, 1), lambda i, k, pid, qidx: (pid[i], 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tp, 1), lambda i, k, pid, qidx: (i, 0)),
-            pl.BlockSpec((nqt, tq), lambda i, k, pid, qidx: (0, 0)),
-        ],
-    )
+def _make_packed_row_min(R: int, tp: int, tq: int, k0: int, interpret: bool):
+    grid = (R, k0)
+    in_specs = [
+        pl.BlockSpec((tp, 3), lambda i, k: (i, 0)),          # packed p
+        pl.BlockSpec((3, tq), lambda i, k: (i * k0 + k, 0)),  # packed qT
+        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),          # packed p valid
+        pl.BlockSpec((1, tq), lambda i, k: (i * k0 + k, 0)),  # packed q valid
+        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),          # row min seed
+    ]
+    out_specs = [
+        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),          # row p-min
+        pl.BlockSpec((1, tq), lambda i, k: (i * k0 + k, 0)),  # (row, k) col-min
+    ]
 
-    def call(pid, qidx, p, qT, pv, qv, pmin_in):
+    def call(p, qT, pv, qv, seed):
         return pl.pallas_call(
-            _row_min_kernel,
-            grid_spec=grid_spec,
+            _packed_row_min_kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((R * tp, 1), jnp.float32),
-                jax.ShapeDtypeStruct((nqt, tq), jnp.float32),
+                jax.ShapeDtypeStruct((R * k0, tq), jnp.float32),
             ],
             interpret=interpret,
-        )(pid, qidx, p, qT, pv, qv, pmin_in)
+        )(p, qT, pv, qv, seed)
 
     return call
 
 
 # ------------------------------------------------------------------ device passes
 @functools.partial(jax.jit, static_argnames=("tp", "tq", "k0", "interpret"))
-def _fold_rows(pid, qidx, p, qT, pv, qv, pmin_in, qmin_in, tp: int, tq: int,
-               k0: int, interpret: bool):
-    """Fold one row table on top of the running minima.  Row outputs merge into
-    the global p-side min with a scatter-min (min is order-free, so values are
-    bit-equal to any fold order); also derives the per-tile upper bounds
-    (max over each tile's VALID points of its running min)."""
-    N, M, R = p.shape[0], qT.shape[1], pid.shape[0]
-    rows, qmin2 = _make_row_min(N, M, R, tp, tq, k0, interpret)(
-        pid, qidx, p, qT, pv, qv, pmin_in
+def _fold_rows(pid, qidx, p_tiles, q3_tiles, pv_tiles, qv_tiles, pmin_in,
+               qmin_in, tp: int, tq: int, k0: int, interpret: bool):
+    """Pack one row table's operands (fast row gathers from the small tile
+    tables), fold them through the static kernel, and merge the streamed
+    minima into the running global minima with scatter-mins (min is
+    order-free, so values are bit-equal to any fold order); also derives the
+    per-tile upper bounds (max over each tile's VALID points of its running
+    min)."""
+    R = pid.shape[0]
+    K = qidx.shape[0]  # R * k0
+    npt_pad, nqt_pad = p_tiles.shape[0], q3_tiles.shape[0]
+    bp = npt_pad * tp
+    p_pack = jnp.take(p_tiles, pid, axis=0).reshape(R * tp, 3)
+    pv_pack = jnp.take(pv_tiles, pid, axis=0).reshape(R * tp, 1)
+    q_pack = jnp.take(q3_tiles, qidx, axis=0).reshape(K * 3, tq)
+    qv_pack = jnp.take(qv_tiles, qidx, axis=0)  # (K, tq)
+    seed = jnp.take(pmin_in.reshape(npt_pad, tp), pid, axis=0).reshape(R * tp, 1)
+    rows, qcol = _make_packed_row_min(R, tp, tq, k0, interpret)(
+        p_pack, q_pack, pv_pack, qv_pack, seed
     )
-    gmin = jnp.full((N // tp, tp), jnp.inf, jnp.float32)
+    gmin = jnp.full((npt_pad, tp), jnp.inf, jnp.float32)
     gmin = gmin.at[pid].min(rows.reshape(R, tp), mode="drop")
-    pmin = jnp.minimum(pmin_in, gmin.reshape(N, 1))
-    qmin = jnp.minimum(qmin_in, qmin2)
-    ubp = jnp.max(jnp.where(pv > 0.0, pmin, -jnp.inf).reshape(N // tp, tp), axis=1)
-    ubq = jnp.max(jnp.where(qv.reshape(M // tq, tq) > 0.0, qmin, -jnp.inf), axis=1)
+    pmin = jnp.minimum(pmin_in, gmin.reshape(bp, 1))
+    qmin = qmin_in.at[qidx].min(qcol, mode="drop")
+    ubp = jnp.max(jnp.where(pv_tiles > 0.0, pmin.reshape(npt_pad, tp), -jnp.inf),
+                  axis=1)
+    ubq = jnp.max(jnp.where(qv_tiles > 0.0, qmin, -jnp.inf), axis=1)
     return pmin, qmin, ubp, ubq
+
+
+@functools.partial(jax.jit, static_argnames=("tp",))
+def _bounds_only(pmin, qmin, pv_tiles, qv_tiles, tp: int):
+    """Per-tile upper bounds from the current minima — the empty-pair-list
+    fast path (a tightening round that pruned everything still needs fresh
+    bounds, but no kernel launch)."""
+    npt_pad = pv_tiles.shape[0]
+    ubp = jnp.max(jnp.where(pv_tiles > 0.0, pmin.reshape(npt_pad, tp), -jnp.inf),
+                  axis=1)
+    ubq = jnp.max(jnp.where(qv_tiles > 0.0, qmin, -jnp.inf), axis=1)
+    return ubp, ubq
 
 
 @jax.jit
@@ -311,57 +335,115 @@ def _pad_rows(pid: np.ndarray, qidx: np.ndarray):
     out_q[: len(pid)] = qidx
     out_pid[len(pid):] = pid[-1] if len(pid) else 0
     out_q[len(pid):] = qidx[-1] if len(pid) else 0
-    return out_pid, np.ascontiguousarray(out_q.reshape(-1))  # flat: SMEM 1-D
+    return out_pid, np.ascontiguousarray(out_q.reshape(-1))  # flat (b*_K0,)
 
 
-def _fold_pair_list(pairs, ps, qsT, pv, qv, pmin, qmin, interpret):
-    """Fold a pair list through SMEM-sized row-table launches; returns the
-    updated (pmin, qmin, ubp, ubq) and the number of folded rows."""
+def _fold_pair_list(pairs, p_tiles, q3_tiles, pv_tiles, qv_tiles, pmin, qmin,
+                    interpret):
+    """Fold a pair list through bounded packed launches; returns the updated
+    (pmin, qmin, ubp, ubq) and the number of folded rows.  An empty list skips
+    the kernel and derives the bounds from the carried minima directly."""
     pid, qidx = _rows_from_pairs(pairs)
-    n_rows = max(len(pid), 1)
+    if len(pid) == 0:
+        ubp, ubq = _bounds_only(pmin, qmin, pv_tiles, qv_tiles, _TP)
+        return pmin, qmin, ubp, ubq, 0
     ubp = ubq = None
-    for s in range(0, n_rows, _MAX_ROWS_PER_LAUNCH):
+    for s in range(0, len(pid), _MAX_ROWS_PER_LAUNCH):
         pid_c, qidx_c = _pad_rows(pid[s:s + _MAX_ROWS_PER_LAUNCH],
                                   qidx[s:s + _MAX_ROWS_PER_LAUNCH])
-        pmin, qmin, ubp, ubq = _fold_rows(pid_c, qidx_c, ps, qsT, pv, qv,
-                                          pmin, qmin, _TP, _TQ, _K0, interpret)
+        pmin, qmin, ubp, ubq = _fold_rows(pid_c, qidx_c, p_tiles, q3_tiles,
+                                          pv_tiles, qv_tiles, pmin, qmin,
+                                          _TP, _TQ, _K0, interpret)
     return pmin, qmin, ubp, ubq, len(pid)
 
 
-def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = False,
-                            stats: dict | None = None):
-    """Exact Chamfer distance via neighbor-pruned enumeration.  p: (n, 3),
-    q: (m, 3) float arrays of VALID points (no padding).  Returns the scalar;
-    per-point minima in the ORIGINAL point order are appended to ``stats`` when
-    a dict is passed (tests pin them bit-equal to the brute path)."""
+class _PreparedPair(NamedTuple):
+    """Host-side preprocessing product for one (p, q) pair: Morton-sorted tile
+    tables (kernel-ready layouts), the pairwise box lower bounds, and the
+    unsort gather maps.  Pure numpy — safe to build in a worker thread while
+    the device folds a previous pair."""
+    n: int
+    m: int
+    bp: int
+    bq: int
+    npt_v: int
+    nqt_v: int
+    p_tiles: np.ndarray   # (bp/_TP, _TP*3) row-major (tp, 3) tiles
+    q3_tiles: np.ndarray  # (bq/_TQ, 3*_TQ) row-major (3, tq) tiles
+    pv_tiles: np.ndarray  # (bp/_TP, _TP)
+    qv_tiles: np.ndarray  # (bq/_TQ, _TQ)
+    lb: np.ndarray        # (npt_v, nqt_v) f32
+    rank_p: np.ndarray
+    rank_q: np.ndarray
+    t_prep: float
+
+
+def chamfer_prepare(p: np.ndarray, q: np.ndarray) -> Optional[_PreparedPair]:
+    """The host-only half of the pruned pipeline: Morton sort + padding + tile
+    tables + pairwise box lower bounds.  Returns None for an empty side (the
+    distance is then NaN, matching ``chamfer_distance_pruned``)."""
     p = np.asarray(p, dtype=np.float32).reshape(-1, 3)
     q = np.asarray(q, dtype=np.float32).reshape(-1, 3)
     n, m = len(p), len(q)
     if n == 0 or m == 0:
-        return float("nan")
+        return None
     if max(n, m) > _MAX_POINTS:
         raise ValueError(f"pruned chamfer supports up to {_MAX_POINTS} points/side")
     t0 = time.perf_counter()
 
-    # -------- sort + pad (host)
     porder, qorder = _morton_order(p), _morton_order(q)
     bp, bq = _bucket(n), _bucket(m)
     ps = _pad_tiles(p[porder], bp)
     qs = _pad_tiles(q[qorder], bq)
+    npt_pad, nqt_pad = bp // _TP, bq // _TQ
     npt_v, nqt_v = -(-n // _TP), -(-m // _TQ)  # tiles containing >=1 valid point
 
-    # -------- tile boxes + pairwise lower bounds (host)
     pt3 = ps[: npt_v * _TP].astype(np.float64).reshape(npt_v, _TP, 3)
     qt3 = qs[: nqt_v * _TQ].astype(np.float64).reshape(nqt_v, _TQ, 3)
     # the final partial tile replicates its last VALID point into the padding,
     # so min/max over the full tile is tight
     lb = _box_lb(pt3.min(axis=1), pt3.max(axis=1), qt3.min(axis=1), qt3.max(axis=1))
 
-    pv = (np.arange(bp) < n).astype(np.float32).reshape(bp, 1)
-    qv = (np.arange(bq) < m).astype(np.float32).reshape(1, bq)
-    qsT = np.ascontiguousarray(qs.T)
+    p_tiles = ps.reshape(npt_pad, _TP * 3)
+    q3_tiles = np.ascontiguousarray(
+        qs.reshape(nqt_pad, _TQ, 3).transpose(0, 2, 1)
+    ).reshape(nqt_pad, 3 * _TQ)
+    pv_tiles = (np.arange(bp) < n).astype(np.float32).reshape(npt_pad, _TP)
+    qv_tiles = (np.arange(bq) < m).astype(np.float32).reshape(nqt_pad, _TQ)
+
+    rank_p = np.zeros(bp, np.int32)
+    rank_p[porder] = np.arange(n, dtype=np.int32)  # original i -> sorted row
+    rank_q = np.zeros(bq, np.int32)
+    rank_q[qorder] = np.arange(m, dtype=np.int32)
+    return _PreparedPair(n, m, bp, bq, npt_v, nqt_v, p_tiles, q3_tiles,
+                         pv_tiles, qv_tiles, lb, rank_p, rank_q,
+                         time.perf_counter() - t0)
+
+
+def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = False,
+                            stats: dict | None = None,
+                            prepared: Optional[_PreparedPair] = None):
+    """Exact Chamfer distance via neighbor-pruned enumeration.  p: (n, 3),
+    q: (m, 3) float arrays of VALID points (no padding).  Returns the scalar;
+    per-point minima in the ORIGINAL point order are appended to ``stats`` when
+    a dict is passed (tests pin them bit-equal to the brute path).  Pass a
+    ``chamfer_prepare(p, q)`` result as ``prepared`` to reuse host prep done
+    elsewhere (e.g. overlapped with a previous pair's device folds)."""
+    if prepared is None:
+        prepared = chamfer_prepare(p, q)
+        if prepared is None:
+            return float("nan")
+    pr = prepared
+    n, m, bp, bq, npt_v, nqt_v = pr.n, pr.m, pr.bp, pr.bq, pr.npt_v, pr.nqt_v
+    lb = pr.lb
+    t0 = time.perf_counter()
+
+    # device residents: the tile tables upload once and feed every launch
+    p_tiles = jnp.asarray(pr.p_tiles)
+    q3_tiles = jnp.asarray(pr.q3_tiles)
+    pv_tiles = jnp.asarray(pr.pv_tiles)
+    qv_tiles = jnp.asarray(pr.qv_tiles)
     done = np.zeros((npt_v, nqt_v), bool)
-    t_prep = time.perf_counter() - t0
 
     # -------- tightening rounds: nearest tiles first, bounds re-fetched
     pmin = jnp.full((bp, 1), jnp.inf, jnp.float32)
@@ -379,8 +461,9 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
             pairs = pairs[sel]
         done[pairs[:, 0], pairs[:, 1]] = True
         round_sizes.append(len(pairs))
-        pmin, qmin, ubp_d, ubq_d = _fold_pair_list(pairs, ps, qsT, pv, qv,
-                                                   pmin, qmin, interpret)[:4]
+        pmin, qmin, ubp_d, ubq_d = _fold_pair_list(
+            pairs, p_tiles, q3_tiles, pv_tiles, qv_tiles, pmin, qmin, interpret
+        )[:4]
         ubp = np.asarray(ubp_d[:npt_v], np.float64)
         ubq = np.asarray(ubq_d[:nqt_v], np.float64)
         k_lo = k_hi
@@ -390,28 +473,25 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     keep = (lb < ubp[:, None] * _MARGIN) | (lb < ubq[None, :] * _MARGIN)
     keep &= ~done
     pairs = np.argwhere(keep).astype(np.int32)  # row-major: sorted by p-tile
-    t_rounds = time.perf_counter() - t0 - t_prep
+    t_rounds = time.perf_counter() - t0
     if stats is not None:
         total = npt_v * nqt_v
         stats.update(n=n, m=m, round_pairs=round_sizes, final_pairs=len(pairs),
                      dense_pairs=total, keep=keep,
                      work_frac=(sum(round_sizes) + len(pairs)) * _TP * _TQ / (n * m))
 
-    pmin, qmin = _fold_pair_list(pairs, ps, qsT, pv, qv, pmin, qmin, interpret)[:2]
+    pmin, qmin = _fold_pair_list(pairs, p_tiles, q3_tiles, pv_tiles, qv_tiles,
+                                 pmin, qmin, interpret)[:2]
 
-    rank_p = np.zeros(bp, np.int32)
-    rank_p[porder] = np.arange(n, dtype=np.int32)  # original i -> sorted row
-    rank_q = np.zeros(bq, np.int32)
-    rank_q[qorder] = np.arange(m, dtype=np.int32)
-    out, d_pq, d_qp = _means(pmin, qmin, rank_p, rank_q,
+    out, d_pq, d_qp = _means(pmin, qmin, pr.rank_p, pr.rank_q,
                              np.arange(bp) < n, np.arange(bq) < m)
     val = float(out)
     if stats is not None:
         stats["d_pq"] = np.asarray(d_pq)[:n]
         stats["d_qp"] = np.asarray(d_qp)[:m]
-        stats["t_prep"] = t_prep
+        stats["t_prep"] = pr.t_prep
         stats["t_rounds"] = t_rounds
-        stats["t_final"] = time.perf_counter() - t0 - t_prep - t_rounds
+        stats["t_final"] = time.perf_counter() - t0 - t_rounds
     return val
 
 
