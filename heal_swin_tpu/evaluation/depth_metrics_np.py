@@ -249,13 +249,60 @@ class BlurredDepthMSE(DepthMSE):
         return super().update(pb[:, None], tb)
 
 
+def build_chamfer_clouds(preds, target, cal_info, nside=256, base_pix=8, hp_data=False,
+                         rotate_pole=False, foreground_pix=None):
+    """Host-side half of the Chamfer metric: builds the (p, q) point clouds from
+    depth maps via ray directions (flat calibration inverse-projection or HP
+    pix2vec), rotates by the extrinsic quaternion, filters nan/inf (+ optional
+    foreground masks).  Pure numpy — safe to run in a worker thread so a
+    writer can overlap the next variant's cloud construction with the current
+    variant's device folds (hp_depth_pred_writers.py)."""
+    if isinstance(hp_data, (list, tuple)):
+        hp_pred, hp_target = hp_data
+    else:
+        hp_pred = hp_target = hp_data
+    pred_dist = np.asarray(preds)[:, 0, ...]
+    target = np.asarray(target)
+
+    pred_pc, _ = depth_utils.create_point_cloud_from_depth_mask(
+        pred_dist, cal_info, nside=nside, base_pix=base_pix, hp_data=hp_pred,
+        rotate_pole=rotate_pole,
+    )
+    target_pc, _ = depth_utils.create_point_cloud_from_depth_mask(
+        target, cal_info, nside=nside, base_pix=base_pix, hp_data=hp_target,
+        rotate_pole=rotate_pole,
+    )
+
+    def _finite_rows(pc):
+        return np.isfinite(pc.sum(axis=-1)).reshape(-1)
+
+    pred_ok = _finite_rows(pred_pc)
+    target_ok = _finite_rows(target_pc)
+
+    if isinstance(foreground_pix, (list, tuple)):
+        fp, ft = foreground_pix
+        if fp is not None:
+            pred_ok &= np.asarray(fp).reshape(-1)
+        if ft is not None:
+            target_ok &= np.asarray(ft).reshape(-1)
+    elif foreground_pix is not None:
+        fg = np.asarray(foreground_pix).reshape(-1)
+        pred_ok &= fg
+        target_ok &= fg
+
+    p = pred_pc.reshape(-1, 3)[pred_ok]
+    q = target_pc.reshape(-1, 3)[target_ok]
+    return p, q
+
+
 class ChamferDistance:
     """Point-cloud Chamfer metric (reference :471-577) on the TPU-native tiled kernel.
 
-    update() builds point clouds from depth maps via ray directions (flat calibration
-    inverse-projection or HP pix2vec), rotates by the extrinsic quaternion, filters
-    nan/inf (+ optional foreground masks), and accumulates the symmetric Chamfer
-    distance; also returns this sample's value (compute_on_step semantics)."""
+    update() builds point clouds (build_chamfer_clouds) and accumulates the
+    symmetric Chamfer distance; also returns this sample's value
+    (compute_on_step semantics).  update_clouds() takes pre-built clouds (and
+    optionally a ``chamfer.prepare_pair`` product) so callers can overlap the
+    host prep of one pair with the device folds of another."""
 
     def __init__(self):
         self.sum_chamfer = 0.0
@@ -263,42 +310,14 @@ class ChamferDistance:
 
     def update(self, preds, target, cal_info, nside=256, base_pix=8, hp_data=False,
                rotate_pole=False, foreground_pix=None):
-        if isinstance(hp_data, (list, tuple)):
-            hp_pred, hp_target = hp_data
-        else:
-            hp_pred = hp_target = hp_data
-        pred_dist = np.asarray(preds)[:, 0, ...]
-        target = np.asarray(target)
-
-        pred_pc, _ = depth_utils.create_point_cloud_from_depth_mask(
-            pred_dist, cal_info, nside=nside, base_pix=base_pix, hp_data=hp_pred,
-            rotate_pole=rotate_pole,
+        p, q = build_chamfer_clouds(
+            preds, target, cal_info, nside=nside, base_pix=base_pix, hp_data=hp_data,
+            rotate_pole=rotate_pole, foreground_pix=foreground_pix,
         )
-        target_pc, _ = depth_utils.create_point_cloud_from_depth_mask(
-            target, cal_info, nside=nside, base_pix=base_pix, hp_data=hp_target,
-            rotate_pole=rotate_pole,
-        )
+        return self.update_clouds(p, q)
 
-        def _finite_rows(pc):
-            return np.isfinite(pc.sum(axis=-1)).reshape(-1)
-
-        pred_ok = _finite_rows(pred_pc)
-        target_ok = _finite_rows(target_pc)
-
-        if isinstance(foreground_pix, (list, tuple)):
-            fp, ft = foreground_pix
-            if fp is not None:
-                pred_ok &= np.asarray(fp).reshape(-1)
-            if ft is not None:
-                target_ok &= np.asarray(ft).reshape(-1)
-        elif foreground_pix is not None:
-            fg = np.asarray(foreground_pix).reshape(-1)
-            pred_ok &= fg
-            target_ok &= fg
-
-        p = pred_pc.reshape(-1, 3)[pred_ok]
-        q = target_pc.reshape(-1, 3)[target_ok]
-        loss = _chamfer(p, q)
+    def update_clouds(self, p, q, prepared=None):
+        loss = _chamfer(p, q, prepared=prepared)
         if np.isfinite(loss):
             self.sum_chamfer += loss
             self.num_samples += 1

@@ -9,10 +9,12 @@ and chamfer_distance{,_full_res,_full_res_hp_masked,_small_res_hp_masked}."""
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from heal_swin_tpu.data import normalize_depth_data as ndd
+from heal_swin_tpu.ops import chamfer as chamfer_ops
 from heal_swin_tpu.evaluation import depth_metrics_np as dm
 from heal_swin_tpu.evaluation.flat_pred_writers import _WriterBase, _norm_prefix
 from heal_swin_tpu.projection import fisheye
@@ -410,33 +412,69 @@ class WoodscapeHPDepthChamferDistBestWorstPredictionWriter(_WriterBase):
 
             kwargs = dict(nside=self.nside, base_pix=self.base_pix,
                           rotate_pole=self.rotate_pole)
-            value = dm.ChamferDistance().update(
-                hp_pred, hp_mask, cal_info, hp_data=True, foreground_pix=hp_fg, **kwargs
-            )
-            self.metrics["chamfer_distance"].update(
-                hp_pred, hp_mask, cal_info, hp_data=True, foreground_pix=hp_fg, **kwargs
-            )
-            self.metrics["chamfer_distance_full_res"].update(
-                hp_pred, full_res_mask, cal_info, hp_data=(True, False),
-                foreground_pix=(hp_fg, full_fg), **kwargs,
-            )
-            hp_masked_full = depth_utils.mask_flat_with_hp_cutout(
-                full_res_mask.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
-                rotate_pole=self.rotate_pole, masking_val=float("nan"),
-            )
-            self.metrics["chamfer_distance_full_res_hp_masked"].update(
-                hp_pred, hp_masked_full, cal_info, hp_data=(True, False),
-                foreground_pix=(hp_fg, self._foreground(hp_masked_full)), **kwargs,
-            )
-            small = _resize_float(full_res_mask, SMALL_RES, self.interpolation_mode)
-            hp_masked_small = depth_utils.mask_flat_with_hp_cutout(
-                small.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
-                rotate_pole=self.rotate_pole, masking_val=float("nan"),
-            )
-            self.metrics["chamfer_distance_small_res_hp_masked"].update(
-                hp_pred, hp_masked_small, cal_info, hp_data=(True, False),
-                foreground_pix=(hp_fg, self._foreground(hp_masked_small)), **kwargs,
-            )
+
+            # The four variants' HOST work (cutout masks, resizes, point-cloud
+            # construction, Morton/tile prep) runs in a worker thread one
+            # variant ahead of the DEVICE folds (main thread): the ~0.7-0.8
+            # s/pair of prep that used to serialize with the device now hides
+            # behind the previous variant's folds.  The ranking value reuses
+            # the cumulative chamfer_distance update (identical inputs ->
+            # identical value; the reference computes it twice, :806-822).
+            def clouds_native():
+                return dm.build_chamfer_clouds(
+                    hp_pred, hp_mask, cal_info, hp_data=True, foreground_pix=hp_fg,
+                    **kwargs,
+                )
+
+            def clouds_full():
+                return dm.build_chamfer_clouds(
+                    hp_pred, full_res_mask, cal_info, hp_data=(True, False),
+                    foreground_pix=(hp_fg, full_fg), **kwargs,
+                )
+
+            def clouds_full_masked():
+                hp_masked_full = depth_utils.mask_flat_with_hp_cutout(
+                    full_res_mask.copy(), cal_info, base_pix=self.base_pix,
+                    nside=self.nside, rotate_pole=self.rotate_pole,
+                    masking_val=float("nan"),
+                )
+                return dm.build_chamfer_clouds(
+                    hp_pred, hp_masked_full, cal_info, hp_data=(True, False),
+                    foreground_pix=(hp_fg, self._foreground(hp_masked_full)), **kwargs,
+                )
+
+            def clouds_small_masked():
+                small = _resize_float(full_res_mask, SMALL_RES, self.interpolation_mode)
+                hp_masked_small = depth_utils.mask_flat_with_hp_cutout(
+                    small.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
+                    rotate_pole=self.rotate_pole, masking_val=float("nan"),
+                )
+                return dm.build_chamfer_clouds(
+                    hp_pred, hp_masked_small, cal_info, hp_data=(True, False),
+                    foreground_pix=(hp_fg, self._foreground(hp_masked_small)), **kwargs,
+                )
+
+            tasks = [
+                ("chamfer_distance", clouds_native),
+                ("chamfer_distance_full_res", clouds_full),
+                ("chamfer_distance_full_res_hp_masked", clouds_full_masked),
+                ("chamfer_distance_small_res_hp_masked", clouds_small_masked),
+            ]
+
+            def _prep(build):
+                p, q = build()
+                return p, q, chamfer_ops.prepare_pair(p, q)
+
+            value = None
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(_prep, tasks[0][1])
+                for i, (mkey, _) in enumerate(tasks):
+                    p, q, prepped = fut.result()
+                    if i + 1 < len(tasks):
+                        fut = ex.submit(_prep, tasks[i + 1][1])
+                    v = self.metrics[mkey].update_clouds(p, q, prepared=prepped)
+                    if mkey == "chamfer_distance":
+                        value = v
             self.metric_values.append(float(value))
             self.names.append(name)
 

@@ -235,12 +235,28 @@ def _impl(n: int, m: int) -> str:
     return "pruned" if float(n) * float(m) >= _PRUNE_MIN_PAIRS else "pallas"
 
 
-def chamfer_distance(p: np.ndarray, q: np.ndarray) -> float:
+def prepare_pair(p: np.ndarray, q: np.ndarray):
+    """Host-side preprocessing for ``chamfer_distance`` (Morton sort + tile
+    tables + box bounds), so a caller can overlap it with another pair's
+    device folds (run this in a worker thread, pass the result back as
+    ``prepared=``).  Returns None when the pair wouldn't take the pruned path
+    — ``chamfer_distance`` then just recomputes nothing extra."""
+    p = np.asarray(p, dtype=np.float32).reshape(-1, 3)
+    q = np.asarray(q, dtype=np.float32).reshape(-1, 3)
+    if len(p) == 0 or len(q) == 0 or _impl(len(p), len(q)) != "pruned":
+        return None
+    from heal_swin_tpu.ops.chamfer_pruned import chamfer_prepare
+
+    return chamfer_prepare(p, q)
+
+
+def chamfer_distance(p: np.ndarray, q: np.ndarray, prepared=None) -> float:
     """Host API: p (N, 3), q (M, 3) float arrays (ragged sizes fine).  On TPU the
     paper's ~1.2M-point full_res clouds run the exact neighbor-PRUNED pipeline
     (ops/chamfer_pruned.py — bit-identical values, prunes ~97% of the pair
     enumeration), smaller clouds the brute Pallas VPU kernel; elsewhere the jnp
-    tiled-matmul path."""
+    tiled-matmul path.  ``prepared``: an optional ``prepare_pair(p, q)`` result
+    (host prep done elsewhere, e.g. overlapped with a previous pair's folds)."""
     p = np.asarray(p, dtype=np.float32).reshape(-1, 3)
     q = np.asarray(q, dtype=np.float32).reshape(-1, 3)
     if len(p) == 0 or len(q) == 0:
@@ -249,7 +265,7 @@ def chamfer_distance(p: np.ndarray, q: np.ndarray) -> float:
     if impl == "pruned":
         from heal_swin_tpu.ops.chamfer_pruned import chamfer_distance_pruned
 
-        return chamfer_distance_pruned(p, q)
+        return chamfer_distance_pruned(p, q, prepared=prepared)
     bp, bq = _bucket(len(p)), _bucket(len(q))
     p_pad = np.zeros((bp, 3), np.float32)
     p_pad[: len(p)] = p

@@ -202,3 +202,91 @@ def test_tracking_server_rest_write_path(tmp_path):
     finally:
         server.stop()
     assert isinstance(tracking.get_store(mlruns), MlflowFileStore)
+
+
+@pytest.mark.slow
+def test_tracking_server_e2e_train(tmp_path, monkeypatch):
+    """End-to-end train against a LIVE ``run.py start-mlflow-server`` process
+    (the r4 REST write path was unit-tested only): the server owns one
+    FileStore root, the training process's HEAL_SWIN_MLRUNS points at a
+    SIBLING root sharing the lockfile location — so every metric/param/status
+    write can only reach the server's store over HTTP (train.py:90-96
+    lockfile -> REST routing, reference utils/mlflow_utils.py:8-19), and the
+    checkpoints land in the server-resolved artifacts dir."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    server_mlruns = tmp_path / "server_mlruns"
+    client_mlruns = tmp_path / "client_mlruns"
+    lock = tmp_path / "tracking_server_running.json"
+
+    env = dict(os.environ, HEAL_SWIN_MLRUNS=str(server_mlruns))
+    srv = subprocess.Popen(
+        [sys.executable, "run.py", "start-mlflow-server"],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        for _ in range(200):
+            if lock.is_file():
+                break
+            time.sleep(0.1)
+        assert lock.is_file(), "server never wrote the lockfile"
+
+        monkeypatch.setenv("HEAL_SWIN_MLRUNS", str(client_mlruns))
+        from heal_swin_tpu import tracking
+        from heal_swin_tpu.tracking.client import MlflowRestStore
+        from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore
+        from heal_swin_tpu.train import train_model
+        from heal_swin_tpu.utils.utils import get_config_from_config_path
+
+        assert isinstance(tracking.get_store(), MlflowRestStore)
+
+        import dataclasses
+
+        run_config = get_config_from_config_path(
+            "run_configs/swin_hp_test_run_config.py", "get_train_run_config"
+        )
+        # eval-after-train's checkpoint lookup reads the LOCAL FileStore root
+        # (utils.py:49-66) — with the split roots of this test that is empty by
+        # design, so run train-only here (eval against the server is covered by
+        # the in-run metric writes + test_masked_iou_eval)
+        run_config = dataclasses.replace(
+            run_config,
+            train=dataclasses.replace(run_config.train, eval_after_train=False),
+        )
+        pl_config = get_config_from_config_path(
+            "run_configs/swin_hp_test_run_config.py", "get_pl_config"
+        )
+        run_id, _ = train_model(run_config, pl_config)
+    finally:
+        srv.send_signal(signal.SIGTERM)
+        try:
+            srv.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+            srv.communicate()
+
+    # every write landed in the SERVER's FileStore (HTTP was the only route)
+    run = MlflowFileStore(server_mlruns).get_run(run_id)
+    assert run.status == "FINISHED"
+    assert run.get_metric_history("train_loss")
+    assert run.get_metric_history("val_iou_global")
+    params = {p.name for p in (run.run_dir / "params").iterdir()}
+    assert "total_params" in params and "n_devices" in params
+    arts = {p.name for p in run.artifact_dir.iterdir()}
+    assert "train_config" in arts  # dill snapshots
+    ckpts = list(run.artifact_dir.glob("checkpoints/*.ckpt"))
+    assert any(c.name == "last.ckpt" for c in ckpts)
+    assert any(c.name == "best.ckpt" for c in ckpts)
+    # the client root never became a FileStore
+    assert not any(client_mlruns.glob("*/meta.yaml"))
+    # server gone: lockfile removed, resolution falls back to the FileStore
+    assert not lock.exists()
+    from heal_swin_tpu.tracking.mlflow_store import MlflowFileStore as _FS
+    assert isinstance(tracking.get_store(), _FS)
