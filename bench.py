@@ -219,6 +219,10 @@ def main():
             num_heads=[3, 6, 12, 24], use_cos_attn=True, use_v2_norm_placement=True,
             dtype="bfloat16", gelu_approx=True,
             fused_final_head=os.environ.get("BENCH_FUSED", "1") != "0",
+            # BENCH_REMAT=1: per-block activation rematerialization
+            # (use_checkpoint, reference swin_hp_transformer.py:539-547) —
+            # prices the img/s + peak-HBM trade for memory-bound batch sizes
+            use_checkpoint=os.environ.get("BENCH_REMAT") == "1",
         )
         spec = DataSpec(dim_in=npix, f_in=3, f_out=n_classes, base_pix=8)
         model = SwinHPTransformerSys(cfg, spec)
@@ -372,6 +376,13 @@ def main():
     ms_per_sample = 1000.0 * dt / (batch * steps)
     print(f"{steps} steps in {dt:.2f}s -> {images_per_sec:.2f} img/s "
           f"({ms_per_sample:.1f} ms/sample)", file=sys.stderr)
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak = ms.get("peak_bytes_in_use")
+        if peak:
+            print(f"device peak_bytes_in_use: {peak / 2**30:.2f} GiB", file=sys.stderr)
+    except Exception:
+        pass
 
     # honest self-contained utilization number: analytic fwd FLOPs (XLA-validated,
     # tests/test_flops.py) x3 for fwd+bwd, vs the v5e bf16 peak (197 TFLOP/s)

@@ -172,9 +172,9 @@ def _packed_row_min_kernel(p_ref, qT_ref, pv_ref, qv_ref, seed_ref,
         pmin_ref[...] = seed_ref[...]
 
     p = p_ref[...]  # (TP, 3) f32
-    q = qT_ref[...]  # (3, TQ) f32
+    q = qT_ref[0]  # (3, TQ) f32 (block (1, 3, TQ) of the packed (K, 3, TQ))
     pv = pv_ref[...]  # (TP, 1) f32 (1 = valid)
-    qv = qv_ref[...]  # (1, TQ) f32
+    qv = qv_ref[0]  # (1, TQ) f32 (block (1, 1, TQ))
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
     qx, qy, qz = q[0:1, :], q[1:2, :], q[2:3, :]
     dx = px - qx
@@ -184,22 +184,26 @@ def _packed_row_min_kernel(p_ref, qT_ref, pv_ref, qv_ref, seed_ref,
     m = jnp.min(jnp.where(qv > 0.0, d, jnp.inf), axis=1, keepdims=True)
     pmin_ref[...] = jnp.minimum(pmin_ref[...], m)
     c = jnp.min(jnp.where(pv > 0.0, d, jnp.inf), axis=0)
-    qcol_ref[...] = c.reshape(1, -1)
+    qcol_ref[...] = c.reshape(1, 1, -1)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_packed_row_min(R: int, tp: int, tq: int, k0: int, interpret: bool):
+    # q-side packed operands are 3-D (K, 3|1, tq) with block (1, 3|1, tq):
+    # Mosaic requires a block's last two dims be (8, 128)-divisible OR equal to
+    # the array's — a (3, tq) block of a tall 2-D (K*3, tq) array is rejected,
+    # the (1, 3, tq) block of (K, 3, tq) is legal (trailing dims match).
     grid = (R, k0)
     in_specs = [
-        pl.BlockSpec((tp, 3), lambda i, k: (i, 0)),          # packed p
-        pl.BlockSpec((3, tq), lambda i, k: (i * k0 + k, 0)),  # packed qT
-        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),          # packed p valid
-        pl.BlockSpec((1, tq), lambda i, k: (i * k0 + k, 0)),  # packed q valid
-        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),          # row min seed
+        pl.BlockSpec((tp, 3), lambda i, k: (i, 0)),             # packed p
+        pl.BlockSpec((1, 3, tq), lambda i, k: (i * k0 + k, 0, 0)),  # packed qT
+        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),             # packed p valid
+        pl.BlockSpec((1, 1, tq), lambda i, k: (i * k0 + k, 0, 0)),  # packed q valid
+        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),             # row min seed
     ]
     out_specs = [
-        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),          # row p-min
-        pl.BlockSpec((1, tq), lambda i, k: (i * k0 + k, 0)),  # (row, k) col-min
+        pl.BlockSpec((tp, 1), lambda i, k: (i, 0)),             # row p-min
+        pl.BlockSpec((1, 1, tq), lambda i, k: (i * k0 + k, 0, 0)),  # (row, k) col-min
     ]
 
     def call(p, qT, pv, qv, seed):
@@ -210,7 +214,7 @@ def _make_packed_row_min(R: int, tp: int, tq: int, k0: int, interpret: bool):
             out_specs=out_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((R * tp, 1), jnp.float32),
-                jax.ShapeDtypeStruct((R * k0, tq), jnp.float32),
+                jax.ShapeDtypeStruct((R * k0, 1, tq), jnp.float32),
             ],
             interpret=interpret,
         )(p, qT, pv, qv, seed)
@@ -234,8 +238,8 @@ def _fold_rows(pid, qidx, p_tiles, q3_tiles, pv_tiles, qv_tiles, pmin_in,
     bp = npt_pad * tp
     p_pack = jnp.take(p_tiles, pid, axis=0).reshape(R * tp, 3)
     pv_pack = jnp.take(pv_tiles, pid, axis=0).reshape(R * tp, 1)
-    q_pack = jnp.take(q3_tiles, qidx, axis=0).reshape(K * 3, tq)
-    qv_pack = jnp.take(qv_tiles, qidx, axis=0)  # (K, tq)
+    q_pack = jnp.take(q3_tiles, qidx, axis=0).reshape(K, 3, tq)
+    qv_pack = jnp.take(qv_tiles, qidx, axis=0).reshape(K, 1, tq)
     seed = jnp.take(pmin_in.reshape(npt_pad, tp), pid, axis=0).reshape(R * tp, 1)
     rows, qcol = _make_packed_row_min(R, tp, tq, k0, interpret)(
         p_pack, q_pack, pv_pack, qv_pack, seed
@@ -243,7 +247,7 @@ def _fold_rows(pid, qidx, p_tiles, q3_tiles, pv_tiles, qv_tiles, pmin_in,
     gmin = jnp.full((npt_pad, tp), jnp.inf, jnp.float32)
     gmin = gmin.at[pid].min(rows.reshape(R, tp), mode="drop")
     pmin = jnp.minimum(pmin_in, gmin.reshape(bp, 1))
-    qmin = qmin_in.at[qidx].min(qcol, mode="drop")
+    qmin = qmin_in.at[qidx].min(qcol.reshape(K, tq), mode="drop")
     ubp = jnp.max(jnp.where(pv_tiles > 0.0, pmin.reshape(npt_pad, tp), -jnp.inf),
                   axis=1)
     ubq = jnp.max(jnp.where(qv_tiles > 0.0, qmin, -jnp.inf), axis=1)
