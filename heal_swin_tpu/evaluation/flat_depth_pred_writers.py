@@ -7,10 +7,12 @@ Metric names: {mse,SILogE,iRMSE,RelAE,RelSE}_projected_to_hp and the chamfer sui
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from heal_swin_tpu.data import normalize_depth_data as ndd
+from heal_swin_tpu.ops import chamfer as chamfer_ops
 from heal_swin_tpu.evaluation import depth_metrics_np as dm
 from heal_swin_tpu.evaluation.flat_pred_writers import _WriterBase, _norm_prefix
 from heal_swin_tpu.evaluation.hp_depth_pred_writers import (
@@ -306,39 +308,77 @@ class WoodscapeFlatDepthChamferDistBestWorstPredictionWriter(_WriterBase):
 
             kwargs = dict(nside=self.nside, base_pix=self.base_pix,
                           rotate_pole=self.rotate_pole)
-            value = dm.ChamferDistance().update(
-                pred_b, target_b, cal_info, hp_data=False, foreground_pix=fg, **kwargs
-            )
-            self.metrics["chamfer_distance"].update(
-                pred_b, target_b, cal_info, hp_data=False, foreground_pix=fg, **kwargs
-            )
-            self.metrics["chamfer_distance_full_res"].update(
-                pred_b, full_res_mask, cal_info, hp_data=(False, False),
-                foreground_pix=(fg, full_fg), **kwargs,
-            )
+
+            # same host/device pipeline as the HP chamfer writer
+            # (hp_depth_pred_writers.py): each variant's host work (cutouts,
+            # resizes, point clouds, Morton/tile prep) runs one variant ahead
+            # in a worker thread while the device folds the current one; the
+            # ranking value reuses the cumulative chamfer_distance update
+            # (identical inputs -> identical value)
+            def clouds_native():
+                return dm.build_chamfer_clouds(
+                    pred_b, target_b, cal_info, hp_data=False, foreground_pix=fg,
+                    **kwargs,
+                )
+
+            def clouds_full():
+                return dm.build_chamfer_clouds(
+                    pred_b, full_res_mask, cal_info, hp_data=(False, False),
+                    foreground_pix=(fg, full_fg), **kwargs,
+                )
+
             # the hp_masked variants also cut the PREDICTION to the HP footprint
             # (reference :576-586, :615-625)
-            hp_masked_pred = depth_utils.mask_flat_with_hp_cutout(
-                pred[0].copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
-                rotate_pole=self.rotate_pole, masking_val=float("nan"),
-            )[None, None]
-            hp_masked_full = depth_utils.mask_flat_with_hp_cutout(
-                full_res_mask.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
-                rotate_pole=self.rotate_pole, masking_val=float("nan"),
-            )
-            self.metrics["chamfer_distance_full_res_hp_masked"].update(
-                hp_masked_pred, hp_masked_full, cal_info, hp_data=(False, False),
-                foreground_pix=(fg, self._foreground(hp_masked_full)), **kwargs,
-            )
-            small = _resize_float(full_res_mask, SMALL_RES, self.interpolation_mode)
-            hp_masked_small = depth_utils.mask_flat_with_hp_cutout(
-                small.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
-                rotate_pole=self.rotate_pole, masking_val=float("nan"),
-            )
-            self.metrics["chamfer_distance_small_res_hp_masked"].update(
-                hp_masked_pred, hp_masked_small, cal_info, hp_data=(False, False),
-                foreground_pix=(fg, self._foreground(hp_masked_small)), **kwargs,
-            )
+            def masked_pred():
+                return depth_utils.mask_flat_with_hp_cutout(
+                    pred[0].copy(), cal_info, base_pix=self.base_pix,
+                    nside=self.nside, rotate_pole=self.rotate_pole,
+                    masking_val=float("nan"),
+                )[None, None]
+
+            def clouds_full_masked():
+                hp_masked_full = depth_utils.mask_flat_with_hp_cutout(
+                    full_res_mask.copy(), cal_info, base_pix=self.base_pix,
+                    nside=self.nside, rotate_pole=self.rotate_pole,
+                    masking_val=float("nan"),
+                )
+                return dm.build_chamfer_clouds(
+                    masked_pred(), hp_masked_full, cal_info, hp_data=(False, False),
+                    foreground_pix=(fg, self._foreground(hp_masked_full)), **kwargs,
+                )
+
+            def clouds_small_masked():
+                small = _resize_float(full_res_mask, SMALL_RES, self.interpolation_mode)
+                hp_masked_small = depth_utils.mask_flat_with_hp_cutout(
+                    small.copy(), cal_info, base_pix=self.base_pix, nside=self.nside,
+                    rotate_pole=self.rotate_pole, masking_val=float("nan"),
+                )
+                return dm.build_chamfer_clouds(
+                    masked_pred(), hp_masked_small, cal_info, hp_data=(False, False),
+                    foreground_pix=(fg, self._foreground(hp_masked_small)), **kwargs,
+                )
+
+            tasks = [
+                ("chamfer_distance", clouds_native),
+                ("chamfer_distance_full_res", clouds_full),
+                ("chamfer_distance_full_res_hp_masked", clouds_full_masked),
+                ("chamfer_distance_small_res_hp_masked", clouds_small_masked),
+            ]
+
+            def _prep(build):
+                p, q = build()
+                return p, q, chamfer_ops.prepare_pair(p, q)
+
+            value = None
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(_prep, tasks[0][1])
+                for i, (mkey, _) in enumerate(tasks):
+                    p, q, prepped = fut.result()
+                    if i + 1 < len(tasks):
+                        fut = ex.submit(_prep, tasks[i + 1][1])
+                    v = self.metrics[mkey].update_clouds(p, q, prepared=prepped)
+                    if mkey == "chamfer_distance":
+                        value = v
             self.metric_values.append(float(value))
             self.names.append(name)
 

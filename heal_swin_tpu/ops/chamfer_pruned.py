@@ -297,19 +297,22 @@ _ROUNDS = (4, 16)
 _MARGIN = 1.0 + 1e-5
 
 
-def _rows_from_pairs(pairs: np.ndarray):
+def _rows_from_pairs(pairs: np.ndarray, k0: int):
     """Group a (k, 2) pair list (sorted by p-tile) into kernel rows: one p-tile
-    x up to _K0 q-tiles each.  Row padding repeats the chunk's first q-tile —
-    a re-fold, which is a no-op on the minima."""
+    x up to ``k0`` q-tiles each.  Row padding repeats the chunk's first q-tile
+    — a re-fold, which is a no-op on the minima.  ``k0`` is chosen per fold
+    phase to match the expected candidates-per-tile (the tightening rounds
+    carry ~4 / ~8 pairs per tile, the final survivor sweep fills 16): a
+    16-wide row at 4 candidates wastes 3/4 of its kernel slots on re-folds."""
     if len(pairs) == 0:
-        return np.zeros((0,), np.int32), np.zeros((0, _K0), np.int32)
+        return np.zeros((0,), np.int32), np.zeros((0, k0), np.int32)
     out_pid, out_q = [], []
     bounds = np.flatnonzero(np.diff(pairs[:, 0])) + 1
     for grp in np.split(pairs, bounds):
         qs = grp[:, 1]
-        for s in range(0, len(qs), _K0):
-            chunk = qs[s:s + _K0]
-            row = np.full(_K0, chunk[0], np.int32)
+        for s in range(0, len(qs), k0):
+            chunk = qs[s:s + k0]
+            row = np.full(k0, chunk[0], np.int32)
             row[: len(chunk)] = chunk
             out_pid.append(grp[0, 0])
             out_q.append(row)
@@ -329,35 +332,50 @@ def _row_bucket(n: int) -> int:
         b *= 2
 
 
-def _pad_rows(pid: np.ndarray, qidx: np.ndarray):
+def _pad_rows(pid: np.ndarray, qidx: np.ndarray, k0: int):
     """Pad the row tables to a half-octave bucket (bounds recompiles across
     samples) by repeating the last row — a harmless re-fold."""
     b = _row_bucket(max(len(pid), 1))
     out_pid = np.empty((b,), np.int32)
-    out_q = np.empty((b, _K0), np.int32)
+    out_q = np.empty((b, k0), np.int32)
     out_pid[: len(pid)] = pid
     out_q[: len(pid)] = qidx
     out_pid[len(pid):] = pid[-1] if len(pid) else 0
     out_q[len(pid):] = qidx[-1] if len(pid) else 0
-    return out_pid, np.ascontiguousarray(out_q.reshape(-1))  # flat (b*_K0,)
+    return out_pid, np.ascontiguousarray(out_q.reshape(-1))  # flat (b*k0,)
+
+
+def _best_k0(pairs: np.ndarray) -> int:
+    """Row width minimizing total kernel slots (incl. per-row padding) for this
+    pair list's per-tile candidate counts — the tightening rounds carry ~4-8
+    candidates/tile where a fixed 16-wide row wastes 2-4x of the fold in
+    re-fold padding; the final survivor sweep fills 16."""
+    if len(pairs) == 0:
+        return _K0
+    counts = np.bincount(pairs[:, 0])
+    counts = counts[counts > 0]
+    slots = {k0: int(np.sum(-(-counts // k0)) * k0) for k0 in (4, 8, _K0)}
+    return min(slots, key=slots.get)
 
 
 def _fold_pair_list(pairs, p_tiles, q3_tiles, pv_tiles, qv_tiles, pmin, qmin,
-                    interpret):
+                    interpret, k0: Optional[int] = None):
     """Fold a pair list through bounded packed launches; returns the updated
     (pmin, qmin, ubp, ubq) and the number of folded rows.  An empty list skips
     the kernel and derives the bounds from the carried minima directly."""
-    pid, qidx = _rows_from_pairs(pairs)
+    if k0 is None:
+        k0 = _best_k0(pairs)
+    pid, qidx = _rows_from_pairs(pairs, k0)
     if len(pid) == 0:
         ubp, ubq = _bounds_only(pmin, qmin, pv_tiles, qv_tiles, _TP)
         return pmin, qmin, ubp, ubq, 0
     ubp = ubq = None
     for s in range(0, len(pid), _MAX_ROWS_PER_LAUNCH):
         pid_c, qidx_c = _pad_rows(pid[s:s + _MAX_ROWS_PER_LAUNCH],
-                                  qidx[s:s + _MAX_ROWS_PER_LAUNCH])
+                                  qidx[s:s + _MAX_ROWS_PER_LAUNCH], k0)
         pmin, qmin, ubp, ubq = _fold_rows(pid_c, qidx_c, p_tiles, q3_tiles,
                                           pv_tiles, qv_tiles, pmin, qmin,
-                                          _TP, _TQ, _K0, interpret)
+                                          _TP, _TQ, k0, interpret)
     return pmin, qmin, ubp, ubq, len(pid)
 
 
