@@ -400,12 +400,50 @@ class _PreparedPair(NamedTuple):
     t_prep: float
 
 
+assert _TP == _TQ  # _prepare_side shares one tiling for both sides
+
+_SIDE_CACHE: dict = {}
+_SIDE_CACHE_MAX = 8
+_SIDE_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _prepare_side(pts: np.ndarray):
+    """Morton order + padded sorted points + tile AABBs + unsort rank for ONE
+    cloud, cached by content hash: the chamfer writer's four variants all use
+    the SAME prediction-side cloud, so its sort/bounds (the bulk of the host
+    prep) compute once per sample.  Returns (n, b, nt_v, ps, lo, hi, rank)."""
+    import hashlib
+
+    key = (hashlib.sha1(pts.tobytes()).hexdigest(), len(pts))
+    with _SIDE_CACHE_LOCK:
+        hit = _SIDE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = len(pts)
+    order = _morton_order(pts)
+    b = _bucket(n)
+    ps = _pad_tiles(pts[order], b)
+    nt_v = -(-n // _TP)  # tiles containing >=1 valid point
+    # the final partial tile replicates its last VALID point into the padding,
+    # so min/max over the full tile is tight
+    t3 = ps[: nt_v * _TP].astype(np.float64).reshape(nt_v, _TP, 3)
+    lo, hi = t3.min(axis=1), t3.max(axis=1)
+    rank = np.zeros(b, np.int32)
+    rank[order] = np.arange(n, dtype=np.int32)  # original i -> sorted row
+    out = (n, b, nt_v, ps, lo, hi, rank)
+    with _SIDE_CACHE_LOCK:
+        _SIDE_CACHE[key] = out
+        while len(_SIDE_CACHE) > _SIDE_CACHE_MAX:
+            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
+    return out
+
+
 def chamfer_prepare(p: np.ndarray, q: np.ndarray) -> Optional[_PreparedPair]:
     """The host-only half of the pruned pipeline: Morton sort + padding + tile
     tables + pairwise box lower bounds.  Returns None for an empty side (the
     distance is then NaN, matching ``chamfer_distance_pruned``)."""
-    p = np.asarray(p, dtype=np.float32).reshape(-1, 3)
-    q = np.asarray(q, dtype=np.float32).reshape(-1, 3)
+    p = np.ascontiguousarray(np.asarray(p, dtype=np.float32).reshape(-1, 3))
+    q = np.ascontiguousarray(np.asarray(q, dtype=np.float32).reshape(-1, 3))
     n, m = len(p), len(q)
     if n == 0 or m == 0:
         return None
@@ -413,18 +451,11 @@ def chamfer_prepare(p: np.ndarray, q: np.ndarray) -> Optional[_PreparedPair]:
         raise ValueError(f"pruned chamfer supports up to {_MAX_POINTS} points/side")
     t0 = time.perf_counter()
 
-    porder, qorder = _morton_order(p), _morton_order(q)
-    bp, bq = _bucket(n), _bucket(m)
-    ps = _pad_tiles(p[porder], bp)
-    qs = _pad_tiles(q[qorder], bq)
+    n, bp, npt_v, ps, plo, phi, rank_p = _prepare_side(p)
+    m, bq, nqt_v, qs, qlo, qhi, rank_q = _prepare_side(q)
     npt_pad, nqt_pad = bp // _TP, bq // _TQ
-    npt_v, nqt_v = -(-n // _TP), -(-m // _TQ)  # tiles containing >=1 valid point
 
-    pt3 = ps[: npt_v * _TP].astype(np.float64).reshape(npt_v, _TP, 3)
-    qt3 = qs[: nqt_v * _TQ].astype(np.float64).reshape(nqt_v, _TQ, 3)
-    # the final partial tile replicates its last VALID point into the padding,
-    # so min/max over the full tile is tight
-    lb = _box_lb(pt3.min(axis=1), pt3.max(axis=1), qt3.min(axis=1), qt3.max(axis=1))
+    lb = _box_lb(plo, phi, qlo, qhi)
 
     p_tiles = ps.reshape(npt_pad, _TP * 3)
     q3_tiles = np.ascontiguousarray(
@@ -433,10 +464,6 @@ def chamfer_prepare(p: np.ndarray, q: np.ndarray) -> Optional[_PreparedPair]:
     pv_tiles = (np.arange(bp) < n).astype(np.float32).reshape(npt_pad, _TP)
     qv_tiles = (np.arange(bq) < m).astype(np.float32).reshape(nqt_pad, _TQ)
 
-    rank_p = np.zeros(bp, np.int32)
-    rank_p[porder] = np.arange(n, dtype=np.int32)  # original i -> sorted row
-    rank_q = np.zeros(bq, np.int32)
-    rank_q[qorder] = np.arange(m, dtype=np.int32)
     return _PreparedPair(n, m, bp, bq, npt_v, nqt_v, p_tiles, q3_tiles,
                          pv_tiles, qv_tiles, lb, rank_p, rank_q,
                          time.perf_counter() - t0)
