@@ -501,3 +501,52 @@ def test_sp_train_equivalence_a2a_exchange(tmp_path, monkeypatch):
     np.testing.assert_allclose(losses_1, losses_s, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(vloss_1, vloss_s, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(viou_1, viou_s, rtol=0.05, atol=0.005)
+
+
+def test_match_vma_psum_axis_order_is_canonical():
+    """The r5 multi-process fix: match_vma must emit its grad psum with a
+    DETERMINISTIC axis order (mesh axis_name order), not frozenset iteration
+    order — a multi-axis psum's replica-group flattening depends on the axis
+    tuple order (("data","seq") -> {{0..7}} ascending vs ("seq","data") ->
+    {{0,2,4,6,1,3,5,7}}), and frozenset order is string-hash dependent, i.e.
+    differs across coordinator-connected processes under hash randomization,
+    which made their gloo rendezvous keys never match (test_multihost.py's
+    former deterministic failure)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from heal_swin_tpu.parallel.sequence import _canonical_axis_order, match_vma
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "seq"))
+
+    def f(x):
+        w = jnp.float32(3.0)  # enters replicated (invariant)
+
+        def loss(w):
+            return jnp.sum(x * w)
+
+        g = jax.grad(loss)(w)  # varying over both axes
+        return match_vma(g, w)
+
+    with mesh:
+        jf = jax.jit(
+            jax.shard_map(f, mesh=mesh, in_specs=(P("data", "seq"),), out_specs=P())
+        )
+        xs = jax.device_put(
+            np.ones((8, 4), np.float32), NamedSharding(mesh, P("data", "seq"))
+        )
+        txt = jf.lower(xs).compile().as_text()
+        groups = set(re.findall(r"replica_groups=\{\{([0-9,]+)\}\}", txt))
+        # the grad psum over BOTH axes must flatten ascending (the ("data",
+        # "seq") order) — the hash-order alternative is {{0,2,4,6,1,3,5,7}}
+        assert "0,1,2,3,4,5,6,7" in groups, groups
+        assert "0,2,4,6,1,3,5,7" not in groups, groups
+        out = jf(xs)
+        assert float(np.asarray(out)) == 32.0  # psum of per-shard sums
+
+    # outside any mesh: falls back to sorted() — still deterministic
+    assert _canonical_axis_order({"zeta", "alpha"}) == ("alpha", "zeta")
