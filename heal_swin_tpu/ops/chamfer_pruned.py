@@ -267,10 +267,14 @@ def _bounds_only(pmin, qmin, pv_tiles, qv_tiles, tp: int):
 
 
 @jax.jit
-def _means(pmin, qmin, rank_p, rank_q, p_valid, q_valid):
+def _means(pmin, qmin, rank_p, rank_q, n, m):
     """Gather the minima back to the original point order and reduce with the
     same masked-mean expression (and shapes) as
-    chamfer.chamfer_distance_masked_pallas."""
+    chamfer.chamfer_distance_masked_pallas.  Validity masks derive on device
+    from the valid counts (arange < n) — the padded bool arrays would
+    otherwise re-upload per pair."""
+    p_valid = jnp.arange(rank_p.shape[0]) < n
+    q_valid = jnp.arange(rank_q.shape[0]) < m
     d_pq = jnp.maximum(pmin[:, 0][rank_p], 0.0)  # original order, (bp,)
     d_qp = jnp.maximum(qmin.reshape(-1)[rank_q], 0.0)  # (bq,)
     n_p = jnp.maximum(jnp.sum(p_valid), 1)
@@ -380,23 +384,24 @@ def _fold_pair_list(pairs, p_tiles, q3_tiles, pv_tiles, qv_tiles, pmin, qmin,
 
 
 class _PreparedPair(NamedTuple):
-    """Host-side preprocessing product for one (p, q) pair: Morton-sorted tile
-    tables (kernel-ready layouts), the pairwise box lower bounds, and the
-    unsort gather maps.  Pure numpy — safe to build in a worker thread while
-    the device folds a previous pair."""
+    """Preprocessing product for one (p, q) pair: Morton-sorted tile tables
+    (kernel-ready layouts, device-resident + content-cached), the pairwise box
+    lower bounds (host), and the unsort gather maps.  Built in a worker thread
+    while the device folds a previous pair — numpy work and the device_put
+    uploads both overlap the folds."""
     n: int
     m: int
     bp: int
     bq: int
     npt_v: int
     nqt_v: int
-    p_tiles: np.ndarray   # (bp/_TP, _TP*3) row-major (tp, 3) tiles
-    q3_tiles: np.ndarray  # (bq/_TQ, 3*_TQ) row-major (3, tq) tiles
-    pv_tiles: np.ndarray  # (bp/_TP, _TP)
-    qv_tiles: np.ndarray  # (bq/_TQ, _TQ)
-    lb: np.ndarray        # (npt_v, nqt_v) f32
-    rank_p: np.ndarray
-    rank_q: np.ndarray
+    p_tiles: jax.Array    # (bp/_TP, _TP*3) row-major (tp, 3) tiles, DEVICE
+    q3_tiles: jax.Array   # (bq/_TQ, 3*_TQ) row-major (3, tq) tiles, DEVICE
+    pv_tiles: jax.Array   # (bp/_TP, _TP), DEVICE
+    qv_tiles: jax.Array   # (bq/_TQ, _TQ), DEVICE
+    lb: np.ndarray        # (npt_v, nqt_v) f32 (host — prune decisions)
+    rank_p: jax.Array     # DEVICE (cached with the side tables)
+    rank_q: jax.Array
     t_prep: float
 
 
@@ -411,7 +416,7 @@ def _prepare_side(pts: np.ndarray):
     """Morton order + padded sorted points + tile AABBs + unsort rank for ONE
     cloud, cached by content hash: the chamfer writer's four variants all use
     the SAME prediction-side cloud, so its sort/bounds (the bulk of the host
-    prep) compute once per sample.  Returns (n, b, nt_v, ps, lo, hi, rank)."""
+    prep) compute once per sample.  Returns (key, n, b, nt_v, ps, lo, hi, rank)."""
     import hashlib
 
     key = (hashlib.sha1(pts.tobytes()).hexdigest(), len(pts))
@@ -430,12 +435,37 @@ def _prepare_side(pts: np.ndarray):
     lo, hi = t3.min(axis=1), t3.max(axis=1)
     rank = np.zeros(b, np.int32)
     rank[order] = np.arange(n, dtype=np.int32)  # original i -> sorted row
-    out = (n, b, nt_v, ps, lo, hi, rank)
+    out = (key, n, b, nt_v, ps, lo, hi, rank)
     with _SIDE_CACHE_LOCK:
         _SIDE_CACHE[key] = out
         while len(_SIDE_CACHE) > _SIDE_CACHE_MAX:
             _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
     return out
+
+
+_DEVICE_SIDE_CACHE: dict = {}
+_DEVICE_SIDE_CACHE_MAX = 8
+
+
+def _device_side(key, role: str, build):
+    """Device-resident per-(side, role) tables, keyed by the side's content
+    hash.  The tables are ~25-35 MB per side; through the dev tunnel
+    (~30-40 MiB/s host->device) re-uploading them per pair used to cost more
+    than the folds themselves, and the writer's shared prediction side
+    re-uploaded 4x per sample.  ``chamfer_prepare`` runs in the writer's
+    worker thread, so cache misses also OVERLAP the previous variant's device
+    folds."""
+    ck = (key, role)
+    with _SIDE_CACHE_LOCK:
+        hit = _DEVICE_SIDE_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    arrs = tuple(jax.device_put(a) for a in build())
+    with _SIDE_CACHE_LOCK:
+        _DEVICE_SIDE_CACHE[ck] = arrs
+        while len(_DEVICE_SIDE_CACHE) > _DEVICE_SIDE_CACHE_MAX:
+            _DEVICE_SIDE_CACHE.pop(next(iter(_DEVICE_SIDE_CACHE)))
+    return arrs
 
 
 def chamfer_prepare(p: np.ndarray, q: np.ndarray) -> Optional[_PreparedPair]:
@@ -451,21 +481,29 @@ def chamfer_prepare(p: np.ndarray, q: np.ndarray) -> Optional[_PreparedPair]:
         raise ValueError(f"pruned chamfer supports up to {_MAX_POINTS} points/side")
     t0 = time.perf_counter()
 
-    n, bp, npt_v, ps, plo, phi, rank_p = _prepare_side(p)
-    m, bq, nqt_v, qs, qlo, qhi, rank_q = _prepare_side(q)
+    pkey, n, bp, npt_v, ps, plo, phi, rank_p = _prepare_side(p)
+    qkey, m, bq, nqt_v, qs, qlo, qhi, rank_q = _prepare_side(q)
     npt_pad, nqt_pad = bp // _TP, bq // _TQ
 
     lb = _box_lb(plo, phi, qlo, qhi)
 
-    p_tiles = ps.reshape(npt_pad, _TP * 3)
-    q3_tiles = np.ascontiguousarray(
-        qs.reshape(nqt_pad, _TQ, 3).transpose(0, 2, 1)
-    ).reshape(nqt_pad, 3 * _TQ)
-    pv_tiles = (np.arange(bp) < n).astype(np.float32).reshape(npt_pad, _TP)
-    qv_tiles = (np.arange(bq) < m).astype(np.float32).reshape(nqt_pad, _TQ)
+    def build_p():
+        p_tiles = ps.reshape(npt_pad, _TP * 3)
+        pv = (np.arange(bp) < n).astype(np.float32).reshape(npt_pad, _TP)
+        return p_tiles, pv, rank_p
 
-    return _PreparedPair(n, m, bp, bq, npt_v, nqt_v, p_tiles, q3_tiles,
-                         pv_tiles, qv_tiles, lb, rank_p, rank_q,
+    def build_q():
+        q3 = np.ascontiguousarray(
+            qs.reshape(nqt_pad, _TQ, 3).transpose(0, 2, 1)
+        ).reshape(nqt_pad, 3 * _TQ)
+        qv = (np.arange(bq) < m).astype(np.float32).reshape(nqt_pad, _TQ)
+        return q3, qv, rank_q
+
+    p_tiles_d, pv_d, rank_p_d = _device_side(pkey, "p", build_p)
+    q3_d, qv_d, rank_q_d = _device_side(qkey, "q", build_q)
+
+    return _PreparedPair(n, m, bp, bq, npt_v, nqt_v, p_tiles_d, q3_d,
+                         pv_d, qv_d, lb, rank_p_d, rank_q_d,
                          time.perf_counter() - t0)
 
 
@@ -487,11 +525,11 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     lb = pr.lb
     t0 = time.perf_counter()
 
-    # device residents: the tile tables upload once and feed every launch
-    p_tiles = jnp.asarray(pr.p_tiles)
-    q3_tiles = jnp.asarray(pr.q3_tiles)
-    pv_tiles = jnp.asarray(pr.pv_tiles)
-    qv_tiles = jnp.asarray(pr.qv_tiles)
+    # the prepared tile tables are already device-resident (and cached per
+    # side content hash — _device_side), so every launch reuses them with no
+    # re-upload
+    p_tiles, q3_tiles = pr.p_tiles, pr.q3_tiles
+    pv_tiles, qv_tiles = pr.pv_tiles, pr.qv_tiles
     done = np.zeros((npt_v, nqt_v), bool)
 
     # -------- tightening rounds: nearest tiles first, bounds re-fetched
@@ -532,8 +570,7 @@ def chamfer_distance_pruned(p: np.ndarray, q: np.ndarray, interpret: bool = Fals
     pmin, qmin = _fold_pair_list(pairs, p_tiles, q3_tiles, pv_tiles, qv_tiles,
                                  pmin, qmin, interpret)[:2]
 
-    out, d_pq, d_qp = _means(pmin, qmin, pr.rank_p, pr.rank_q,
-                             np.arange(bp) < n, np.arange(bq) < m)
+    out, d_pq, d_qp = _means(pmin, qmin, pr.rank_p, pr.rank_q, n, m)
     val = float(out)
     if stats is not None:
         stats["d_pq"] = np.asarray(d_pq)[:n]
