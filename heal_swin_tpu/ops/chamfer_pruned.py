@@ -286,16 +286,18 @@ def _means(pmin, qmin, rank_p, rank_q, n, m):
 
 # ------------------------------------------------------------------ driver
 # Tightening rounds: cumulative nearest-tile counts per tile per round.  Round 1
-# folds each tile's 8 nearest boxes; the re-fetched upper bounds then prune the
-# round-2 candidates (the next-16 nearest), whose bounds prune the final
+# folds each tile's 4 nearest boxes; the re-fetched upper bounds then prune the
+# round-2 candidates (the next-12 nearest), whose bounds prune the final
 # survivor enumeration.  Each point's true-NN tile always survives every prune
 # (its lower bound <= the point's true min <= the tile bound), so the final
 # minima are exact regardless of the round schedule — the schedule only controls
 # how close the bounds get to ideal before paying for the full survivor sweep.
-# (8, 24) measured best of 8 schedules at 1.24M points (r5 TPU sweep, scalar
-# identical under every schedule): deeper rounds buy a much smaller final
-# survivor set — random 1.33 -> 1.15 s/pair vs (4, 16), depth-like equal.
-_ROUNDS = (8, 24)
+# Schedule sweep (r5, 8 schedules on TPU, scalar identical under all): (8, 24)
+# won on SYNTHETIC probe clouds (random -13%) but LOST in the real eval writer
+# (0.22 -> 0.14 samples/s — real depth clouds are clumpier, so deeper rounds
+# fold ~2x the round pairs for little final-set shrinkage); only the full
+# writer number decides (CLAUDE.md), so (4, 16) stays.
+_ROUNDS = (4, 16)
 
 # Conservative pruning slack, RELATIVE: the kernel's difference-form f32
 # distance and the f32 box lower bound are each within a few ulp RELATIVE
