@@ -130,3 +130,37 @@ def test_pruned_empty_and_dispatch():
         del os.environ["HEAL_SWIN_CHAMFER_IMPL"]
     b = chp.chamfer_distance_pruned(p, q, interpret=True)
     assert a == pytest.approx(b, rel=1e-4)
+
+
+def test_side_caches_hit_by_content_and_role():
+    """The r5 per-side caches: identical cloud CONTENT reuses the host prep and
+    the device tables (the writer's four variants share their prediction side);
+    the same content used as p vs q yields distinct role entries; and the
+    cached path is value-identical to a cold prepare."""
+    rng = np.random.default_rng(3)
+    p = rng.normal(size=(2100, 3)).astype(np.float32)
+    q = rng.normal(size=(1700, 3)).astype(np.float32) + 0.05
+
+    chp._SIDE_CACHE.clear()
+    chp._DEVICE_SIDE_CACHE.clear()
+    pr1 = chp.chamfer_prepare(p, q)
+    assert len(chp._SIDE_CACHE) == 2
+    assert {r for _, r in chp._DEVICE_SIDE_CACHE} == {"p", "q"}
+    v1 = chp.chamfer_distance_pruned(p, q, interpret=True, prepared=pr1)
+
+    # warm path: same content -> same cached device arrays (object identity)
+    pr2 = chp.chamfer_prepare(np.array(p), np.array(q))
+    assert pr2.p_tiles is pr1.p_tiles and pr2.q3_tiles is pr1.q3_tiles
+    assert chp.chamfer_distance_pruned(p, q, interpret=True, prepared=pr2) == v1
+
+    # the same CONTENT as the other side gets its own role entry, not a reuse
+    chp.chamfer_prepare(q, p)
+    assert len(chp._DEVICE_SIDE_CACHE) == 4
+
+    # the cache is bounded
+    for i in range(chp._SIDE_CACHE_MAX + 2):
+        chp.chamfer_prepare(
+            rng.normal(size=(1100, 3)).astype(np.float32), q
+        )
+    assert len(chp._SIDE_CACHE) <= chp._SIDE_CACHE_MAX
+    assert len(chp._DEVICE_SIDE_CACHE) <= chp._DEVICE_SIDE_CACHE_MAX
