@@ -72,6 +72,8 @@ worker thread while pair k folds on the device
 from __future__ import annotations
 
 import functools
+import hashlib
+import threading
 import time
 from typing import NamedTuple, Optional
 
@@ -414,7 +416,7 @@ assert _TP == _TQ  # _prepare_side shares one tiling for both sides
 
 _SIDE_CACHE: dict = {}
 _SIDE_CACHE_MAX = 8
-_SIDE_CACHE_LOCK = __import__("threading").Lock()
+_SIDE_CACHE_LOCK = threading.Lock()
 
 
 def _prepare_side(pts: np.ndarray):
@@ -422,8 +424,6 @@ def _prepare_side(pts: np.ndarray):
     cloud, cached by content hash: the chamfer writer's four variants all use
     the SAME prediction-side cloud, so its sort/bounds (the bulk of the host
     prep) compute once per sample.  Returns (key, n, b, nt_v, ps, lo, hi, rank)."""
-    import hashlib
-
     key = (hashlib.sha1(pts.tobytes()).hexdigest(), len(pts))
     with _SIDE_CACHE_LOCK:
         hit = _SIDE_CACHE.get(key)
@@ -474,9 +474,10 @@ def _device_side(key, role: str, build):
 
 
 def chamfer_prepare(p: np.ndarray, q: np.ndarray) -> Optional[_PreparedPair]:
-    """The host-only half of the pruned pipeline: Morton sort + padding + tile
-    tables + pairwise box lower bounds.  Returns None for an empty side (the
-    distance is then NaN, matching ``chamfer_distance_pruned``)."""
+    """The preprocessing half of the pruned pipeline: Morton sort + padding +
+    tile tables (device-uploaded through the per-side cache) + pairwise box
+    lower bounds.  Returns None for an empty side (the distance is then NaN,
+    matching ``chamfer_distance_pruned``)."""
     p = np.ascontiguousarray(np.asarray(p, dtype=np.float32).reshape(-1, 3))
     q = np.ascontiguousarray(np.asarray(q, dtype=np.float32).reshape(-1, 3))
     n, m = len(p), len(q)
